@@ -1,0 +1,67 @@
+"""Stage 3: ordered span reassembly (higher-order functions, no UDF).
+
+Output contract per task (FIXTURES.md section 4; web/OCRacle.html:283-310
+renders images before the task text):
+
+  spans = images (input-offset order) ++ texts (input-offset order),
+  each text: label-strip (marker span only) -> admin-strip -> math-normalize,
+  text spans empty after the chain are dropped, offsets re-based 0..n-1.
+
+Everything happens inside array lambdas on the already-aggregated task rows —
+no join back to the exploded span table, no extra shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import config as C
+from . import rules
+
+
+def _transform_text(x: Column) -> Column:
+    base = F.when(x["is_marker"], rules.strip_label(x["text"])).otherwise(x["text"])
+    return rules.normalize_math(rules.strip_admin(base))
+
+
+def output_spans(sp: Column) -> Column:
+    """sp: sorted array<struct<offset,kind,text,media_ref,is_marker>>."""
+    images = F.filter(sp, lambda x: x["kind"] == C.IMAGE_KIND)
+    texts = F.filter(sp, lambda x: x["kind"] == C.TEXT_KIND)
+    ordered = F.concat(images, texts)
+    transformed = F.transform(
+        ordered,
+        lambda x: F.struct(
+            x["kind"].alias("kind"),
+            _transform_text(x).alias("text"),
+            x["media_ref"].alias("media_ref"),
+        ),
+    )
+    nonempty = F.filter(
+        transformed,
+        lambda x: ~((x["kind"] == C.TEXT_KIND) & (x["text"] == "")),
+    )
+    return F.transform(
+        nonempty,
+        lambda x, i: F.struct(
+            x["kind"].alias("kind"),
+            x["text"].alias("text"),
+            x["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+
+
+def assemble(tasks: DataFrame, fields: DataFrame) -> DataFrame:
+    """(tasks, doc_fields) -> extractions table.
+
+    The join keys on doc_id; both sides are hash(doc_id)-partitioned already
+    (tasks via the window chain, fields via its groupBy), so no exchange.
+    """
+    out = tasks.withColumn("spans", output_spans(F.col("sp"))).select(
+        "doc_id", "task_number", "points", "spans"
+    )
+    return out.join(fields, "doc_id").select(
+        "doc_id", "subject", "exam_version", "task_number", "points", "spans"
+    )

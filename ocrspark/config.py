@@ -127,6 +127,10 @@ EXERCISE_RE = r"(?i)\b([øo]ving|arbeidskrav)\s+([0-9]+)\b"
 # (Backreference pattern: Python/Java only; never used in DuckDB oracles.)
 # --------------------------------------------------------------------------
 DESTUTTER_RE = r"([^0-9A-Za-zæøåÆØÅ\s])\1{2,}"
+# Unicode space canonicalization: Java/RE2 `\s` is ASCII-only while Python's
+# is unicode-aware; recovery maps all unicode spaces to ASCII space so every
+# downstream `\s` behaves identically across engines.
+UNICODE_WS_RE = "[\u00a0\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]"
 CONTROL_CHARS_RE = "[\x00-\x08\x0b\x0c\x0e-\x1f\u200b\u200c\u200d\ufeff]"
 
 # --------------------------------------------------------------------------

@@ -30,6 +30,7 @@ _SOLUTION = re.compile(C.SOLUTION_RE)
 _ADMIN = re.compile(C.ADMIN_STRIP_RE)
 _DESTUTTER = re.compile(C.DESTUTTER_RE)
 _CONTROL = re.compile(C.CONTROL_CHARS_RE)
+_UWS = re.compile(C.UNICODE_WS_RE)
 _SUBJECT = re.compile(C.SUBJECT_CODE_RE)
 _SEASON = re.compile(C.SEASON_RE)
 _EXERCISE = re.compile(C.EXERCISE_RE)
@@ -66,6 +67,7 @@ def recover_text(text: str) -> str:
     if not text:
         return ""
     text = _CONTROL.sub("", text)
+    text = _UWS.sub(" ", text)
     text = _DESTUTTER.sub(r"\1", text)
     return text
 

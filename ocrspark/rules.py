@@ -1,0 +1,147 @@
+"""Native (JVM/codegen) Column implementations of the rule pack.
+
+Every function returns a ``pyspark.sql.Column`` built purely from
+``pyspark.sql.functions`` — no Python UDFs anywhere (north-star: "never drops
+to per-row Python").  Semantics are specified by ``ocrspark.pyref`` and the
+constants in ``ocrspark.config`` (provenance documented there).
+
+Java-regex notes: replacement strings use ``$1`` group refs; a literal
+backslash in a Java replacement is written ``\\\\`` in Python source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from . import config as C
+
+# ------------------------------------------------------------- stage 1 ----
+
+
+def recover_text(col: Column) -> Column:
+    """Native twin of stage-1 OCR recovery (pyref.recover_text)."""
+    c = F.coalesce(col, F.lit(""))
+    c = F.regexp_replace(c, C.CONTROL_CHARS_RE, "")
+    c = F.regexp_replace(c, C.UNICODE_WS_RE, " ")
+    c = F.regexp_replace(c, C.DESTUTTER_RE, "$1")
+    return c
+
+
+# ------------------------------------------------------- segmentation -----
+
+
+def marker_candidate_number(kind: Column, text: Column) -> Column:
+    """G2: leading rising-number candidate, or NULL (pyref.marker_number)."""
+    num = F.regexp_extract(text, C.MARKER_RE, C.MARKER_GROUP)
+    ok = (
+        (kind == F.lit(C.TEXT_KIND))
+        & (num != "")
+        & (~text.rlike(C.MAKS_POENG_ONLY_RE))
+    )
+    return F.when(ok, num.cast("int"))
+
+
+def is_solution_start(kind: Column, text: Column) -> Column:
+    """G8: span starts a solution section (dropped to end of task)."""
+    return (kind == F.lit(C.TEXT_KIND)) & text.rlike(C.SOLUTION_RE)
+
+
+def strip_label(col: Column) -> Column:
+    """Remove one leading task label ('3 ', 'Oppgave 3: ')."""
+    # Java regexp_replace replaces all matches, but the pattern is start-
+    # anchored so at most one match exists — equivalent to count=1.
+    return F.regexp_replace(col, C.LABEL_STRIP_RE, "")
+
+
+def squeeze_ws(col: Column) -> Column:
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def strip_admin(col: Column) -> Column:
+    """P12: delete exam-administration phrases (pyref.strip_admin)."""
+    return squeeze_ws(F.regexp_replace(col, C.ADMIN_STRIP_RE, " "))
+
+
+def extract_points(task_text: Column) -> Column:
+    """T12: first 'Maks poeng: N' in task text; 0 if absent."""
+    p = F.regexp_extract(task_text, C.POINTS_RE, 1)
+    return F.when(p != "", p.cast("int")).otherwise(F.lit(0))
+
+
+# --------------------------------------------------- math normalization ---
+
+
+def normalize_math(col: Column) -> Column:
+    """T1-T5 chain, exactly pyref.normalize_math (order-sensitive)."""
+    c = squeeze_ws(col)
+    for sym, rep in C.MATH_REPLACEMENTS:
+        c = F.replace(c, F.lit(sym), F.lit(rep))
+    # Java replacement: '\\\\' -> one literal backslash.
+    c = F.regexp_replace(c, C.FRACTION_RE[0], "\\\\frac{$1}{$2}")
+    c = F.regexp_replace(c, C.SUBSCRIPT_RE[0], "_{$1}")
+    c = F.regexp_replace(c, C.SUPERSCRIPT_RE[0], "^{$1}")
+    c = F.regexp_replace(c, C.OPERATOR_SPACE_RE[0], " $1 ")
+    return squeeze_ws(c)
+
+
+# ------------------------------------------------------- doc-level rules --
+
+
+def subject_codes(doc_text: Column) -> Column:
+    """All subject-code matches, in order (P4 input)."""
+    return F.regexp_extract_all(doc_text, F.lit(C.SUBJECT_CODE_RE), 1)
+
+
+def merge_subject_codes(codes: Column) -> Column:
+    """P4 wildcard fold (pyref.merge_subject_codes), pure catalyst.
+
+    Folds first-appearance-distinct codes into the first one; a same-length
+    code differing at <=1 not-yet-wildcarded position wildcards that position
+    (letter -> X, digit -> Y).
+    """
+    distinct = F.array_distinct(codes)
+
+    def _merge(acc: Column, code: Column) -> Column:
+        idxs = F.sequence(F.lit(1), F.length(acc))
+        diffs = F.filter(
+            idxs,
+            lambda i: (acc.substr(i, F.lit(1)) != code.substr(i, F.lit(1)))
+            & (~acc.substr(i, F.lit(1)).isin("X", "Y")),
+        )
+        d = F.try_element_at(diffs, F.lit(1))
+        wild = F.when(acc.substr(d, F.lit(1)).rlike("[0-9]"), F.lit("Y")).otherwise(F.lit("X"))
+        merged = F.concat(
+            acc.substr(F.lit(1), d - 1),
+            wild,
+            acc.substr(d + 1, F.length(acc)),
+        )
+        return (
+            F.when(F.length(code) != F.length(acc), acc)
+            .when(F.size(diffs) > 1, acc)
+            .when(F.size(diffs) == 0, acc)
+            .otherwise(merged)
+        )
+
+    folded = F.aggregate(
+        F.slice(distinct, 2, F.greatest(F.size(distinct) - 1, F.lit(0))),
+        F.get(distinct, 0),
+        _merge,
+    )
+    return F.coalesce(folded, F.lit("UNKNOWN"))
+
+
+def extract_subject(doc_text: Column) -> Column:
+    return merge_subject_codes(subject_codes(doc_text))
+
+
+def extract_version(doc_text: Column) -> Column:
+    """P5 + T8 (pyref.extract_version)."""
+    season = F.regexp_extract(doc_text, C.SEASON_RE, 1)
+    year = F.regexp_extract(doc_text, C.SEASON_RE, 2)
+    exercise = F.regexp_extract(doc_text, C.EXERCISE_RE, 2)
+    return (
+        F.when(season != "", F.concat(F.upper(season.substr(1, 1)), year.substr(-2, 2)))
+        .when(exercise != "", F.concat(F.lit("ØVING "), exercise))
+        .otherwise(F.lit("UNKNOWN"))
+    )
