@@ -7,8 +7,9 @@ renders images before the task text):
   each text: label-strip (marker span only) -> admin-strip -> math-normalize,
   text spans empty after the chain are dropped, offsets re-based 0..n-1.
 
-Everything happens inside array lambdas on the already-aggregated task rows —
-no join back to the exploded span table, no extra shuffle.
+Everything happens inside array lambdas on the one-row-per-doc aggregates —
+no join, no extra shuffle; the final explode fans back out to one row per
+(doc_id, task_number).
 """
 
 from __future__ import annotations
@@ -26,7 +27,7 @@ def _transform_text(x: Column) -> Column:
 
 
 def output_spans(sp: Column) -> Column:
-    """sp: sorted array<struct<offset,kind,text,media_ref,is_marker>>."""
+    """sp: offset-sorted array<struct<offset,kind,text,media_ref,is_marker>>."""
     images = F.filter(sp, lambda x: x["kind"] == C.IMAGE_KIND)
     texts = F.filter(sp, lambda x: x["kind"] == C.TEXT_KIND)
     ordered = F.concat(images, texts)
@@ -53,15 +54,17 @@ def output_spans(sp: Column) -> Column:
     )
 
 
-def assemble(tasks: DataFrame, fields: DataFrame) -> DataFrame:
-    """(tasks, doc_fields) -> extractions table.
-
-    The join keys on doc_id; both sides are hash(doc_id)-partitioned already
-    (tasks via the window chain, fields via its groupBy), so no exchange.
-    """
-    out = tasks.withColumn("spans", output_spans(F.col("sp"))).select(
-        "doc_id", "task_number", "points", "spans"
+def assemble(segmented: DataFrame) -> DataFrame:
+    """Per-doc task arrays -> extractions(doc_id, subject, exam_version,
+    task_number, points, spans)."""
+    exploded = segmented.select(
+        "doc_id", "subject", "exam_version", F.explode("tasks").alias("t")
     )
-    return out.join(fields, "doc_id").select(
-        "doc_id", "subject", "exam_version", "task_number", "points", "spans"
+    return exploded.select(
+        "doc_id",
+        "subject",
+        "exam_version",
+        F.col("t.task_number").alias("task_number"),
+        F.col("t.points").alias("points"),
+        output_spans(F.col("t.sp")).alias("spans"),
     )

@@ -116,8 +116,9 @@ SUBJECT_CODE_RE = r"\b([A-ZÆØÅ]{2,6}[0-9]{4})\b"
 # scripts/task_processing.py:305-311: first letter in {V,H,K} -> letter +
 # last-2 digits of year).
 # --------------------------------------------------------------------------
-SEASON_RE = r"(?i)\b(v[åa]r|h[øo]st|kont)\w*\s+(20[0-9][0-9])\b"
-EXERCISE_RE = r"(?i)\b([øo]ving|arbeidskrav)\s+([0-9]+)\b"
+# (?i) is ASCII-only in Java regex, so Æ/Ø/Å case variants are explicit.
+SEASON_RE = r"(?i)\b(v[åaÅ]r|h[øoØ]st|kont)\w*\s+(20[0-9][0-9])\b"
+EXERCISE_RE = r"(?i)\b([øoØO]ving|arbeidskrav)\s+([0-9]+)\b"
 
 # --------------------------------------------------------------------------
 # Stage-1 recovery (S2/S4 replacement): deterministic OCR-artifact repair.

@@ -17,5 +17,4 @@ def extract(docs: DataFrame, arrow: bool = False) -> DataFrame:
     """docs(doc_id, spans) -> extractions(doc_id, subject, exam_version,
     task_number, points, spans)."""
     flat = stage1(docs, arrow=arrow)
-    tasks, fields = segment(flat)
-    return assemble(tasks, fields)
+    return assemble(segment(flat))

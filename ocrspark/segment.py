@@ -9,31 +9,39 @@ deterministic sessionization (SURVEY.md G1-G4, W2-W3):
   task_seq   = running count of accepted markers       (G3 sessionization)
   solution   = per-task cumulative flag -> drop        (G8)
   head/tail  = stripped-length admin window            (F6/F7 replacement)
-  renumber   = row_number over surviving tasks         (task_boundaries.py:324-326)
+  renumber   = position in surviving task array        (task_boundaries.py:324-326)
   F4         = raw length < 50 -> drop, keep gaps      (task_boundaries.py:418-423)
 
-Shuffle budget: ONE exchange, hash(doc_id), for the first window.  Every
-subsequent window / groupBy keys on (doc_id, ...) supersets, which
-hash(doc_id) already satisfies (ClusteredDistribution subset rule), so
-Catalyst inserts only local sorts — verified in tests/test_plan.py.
+Physical shape (asserted in tests/test_plan.py): ONE data-sized exchange —
+hash(doc_id) for the sessionization window.  Both follow-up aggregations
+(groupBy(doc_id, task_seq), then groupBy(doc_id)) are satisfied by
+hash(doc_id) partitioning, so no further exchange, no join, and the input is
+scanned exactly once.  Doc-level decisions (admin window, renumbering, F4,
+subject/version) happen as array expressions on the one-row-per-doc
+aggregate — the Spark translation of the reference's whole-document
+list-walk, without leaving the JVM.
+
+Memory bound: one doc's spans as one array row (the reference holds the same
+whole-document state in Python lists); Arrow never sees these arrays.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import config as C
 from . import rules
 
+
 def sessionize(flat: DataFrame) -> DataFrame:
-    """flat spans -> + (cand_n, is_marker, task_seq, in_solution)."""
-    W_DOC = Window.partitionBy("doc_id").orderBy("offset")
-    W_TASK = Window.partitionBy("doc_id", "task_seq").orderBy("offset")
+    """flat spans -> + (is_marker, task_seq, in_solution)."""
+    w_doc = Window.partitionBy("doc_id").orderBy("offset")
+    w_task = Window.partitionBy("doc_id", "task_seq").orderBy("offset")
     cand = rules.marker_candidate_number(F.col("kind"), F.col("text"))
     df = flat.withColumn("cand_n", cand)
     run_max_prior = F.coalesce(
-        F.max("cand_n").over(W_DOC.rowsBetween(Window.unboundedPreceding, -1)),
+        F.max("cand_n").over(w_doc.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),
     )
     df = df.withColumn(
@@ -43,46 +51,24 @@ def sessionize(flat: DataFrame) -> DataFrame:
     df = df.withColumn(
         "task_seq",
         F.sum(F.col("is_marker").cast("int")).over(
-            W_DOC.rowsBetween(Window.unboundedPreceding, 0)
+            w_doc.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
     sol = rules.is_solution_start(F.col("kind"), F.col("text"))
     df = df.withColumn(
         "in_solution",
         F.max(sol.cast("int"))
-        .over(W_TASK.rowsBetween(Window.unboundedPreceding, 0))
+        .over(w_task.rowsBetween(Window.unboundedPreceding, 0))
         == 1,
     )
-    return df
-
-
-def doc_fields(sessionized: DataFrame) -> DataFrame:
-    """Doc-level subject/version from the full recovered text (pre-drop).
-
-    groupBy(doc_id) on data already hash(doc_id)-partitioned: no exchange.
-    """
-    doc_text = F.array_join(
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.when(F.col("text") != "", F.struct("offset", "text"))
-                )
-            ),
-            lambda x: x["text"],
-        ),
-        " ",
-    )
-    return sessionized.groupBy("doc_id").agg(
-        rules.extract_subject(doc_text).alias("subject"),
-        rules.extract_version(doc_text).alias("exam_version"),
-    )
+    return df.drop("cand_n")
 
 
 def aggregate_tasks(sessionized: DataFrame) -> DataFrame:
     """Solution-drop + per-(doc, task) array aggregation and task census.
 
-    groupBy(doc_id, task_seq) is satisfied by hash(doc_id): no exchange,
-    complete groups form map-side.
+    groupBy(doc_id, task_seq) is satisfied by the window's hash(doc_id)
+    partitioning: complete groups form map-side, no exchange.
     """
     kept = sessionized.filter(~F.col("in_solution"))
     tasks = kept.groupBy("doc_id", "task_seq").agg(
@@ -102,34 +88,70 @@ def aggregate_tasks(sessionized: DataFrame) -> DataFrame:
         "stripped_len",
         F.length(rules.strip_admin(rules.strip_label(F.col("task_text")))),
     )
-    tasks = tasks.withColumn("points", rules.extract_points(F.col("task_text")))
-    return tasks
+    return tasks.withColumn("points", rules.extract_points(F.col("task_text")))
 
 
-def select_tasks(tasks: DataFrame) -> DataFrame:
-    """F6/F7 head/tail admin window, renumbering, F4 short-task drop."""
-    w_doc = Window.partitionBy("doc_id")
-    valid_seq = F.when(
-        (F.col("task_seq") >= 1)
-        & (F.col("stripped_len") >= C.MIN_STRIPPED_TASK_CHARS),
-        F.col("task_seq"),
+def nest_per_doc(tasks: DataFrame) -> DataFrame:
+    """One row per doc: sorted task array + doc-level fields.
+
+    groupBy(doc_id): again satisfied by hash(doc_id), no exchange.  The doc
+    text for subject/version (P4/P5) is the ordered concat of the per-task
+    texts — identical to the global span-text concat since both skip empties
+    and join on single spaces.
+    """
+    nested = tasks.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("task_seq", "sp", "raw_len", "task_text",
+                         "stripped_len", "points")
+            )
+        ).alias("tarr")
     )
-    tasks = tasks.withColumn("first_valid", F.min(valid_seq).over(w_doc)).withColumn(
-        "last_valid", F.max(valid_seq).over(w_doc)
+    doc_text = F.array_join(
+        F.transform(
+            F.filter(F.col("tarr"), lambda x: x["task_text"] != ""),
+            lambda x: x["task_text"],
+        ),
+        " ",
     )
-    window_kept = tasks.filter(
-        F.col("task_seq").between(F.col("first_valid"), F.col("last_valid"))
+    return nested.withColumn("subject", rules.extract_subject(doc_text)).withColumn(
+        "exam_version", rules.extract_version(doc_text)
     )
-    numbered = window_kept.withColumn(
-        "task_number",
-        F.row_number()
-        .over(Window.partitionBy("doc_id").orderBy("task_seq"))
-        .cast("string"),
-    )
-    return numbered.filter(F.col("raw_len") >= C.MIN_TASK_TEXT_CHARS)
 
 
-def segment(flat: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Returns (surviving tasks with span arrays, doc-level fields)."""
-    s = sessionize(flat)
-    return select_tasks(aggregate_tasks(s)), doc_fields(s)
+def select_tasks(nested: DataFrame) -> DataFrame:
+    """F6/F7 admin window + renumbering + F4, as array expressions."""
+    def _seq_of(valid: Column) -> Column:
+        return F.transform(valid, lambda x: x["task_seq"])
+
+    valid = F.filter(
+        F.col("tarr"),
+        lambda x: (x["task_seq"] >= 1)
+        & (x["stripped_len"] >= C.MIN_STRIPPED_TASK_CHARS),
+    )
+    df = nested.withColumn("first_valid", F.array_min(_seq_of(valid))).withColumn(
+        "last_valid", F.array_max(_seq_of(valid))
+    )
+    windowed = F.filter(
+        F.col("tarr"),
+        lambda x: (x["task_seq"] >= F.col("first_valid"))
+        & (x["task_seq"] <= F.col("last_valid")),
+    )
+    numbered = F.transform(
+        windowed,
+        lambda x, i: F.struct(
+            (i + 1).cast("string").alias("task_number"),
+            x["points"].alias("points"),
+            x["raw_len"].alias("raw_len"),
+            x["sp"].alias("sp"),
+        ),
+    )
+    surviving = F.filter(numbered, lambda x: x["raw_len"] >= C.MIN_TASK_TEXT_CHARS)
+    return df.withColumn("tasks", surviving).select(
+        "doc_id", "subject", "exam_version", "tasks"
+    )
+
+
+def segment(flat: DataFrame) -> DataFrame:
+    """flat spans -> one row per doc with surviving numbered task array."""
+    return select_tasks(nest_per_doc(aggregate_tasks(sessionize(flat))))
