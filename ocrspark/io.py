@@ -1,0 +1,126 @@
+"""Table IO: Iceberg when available, partitioned-parquet fallback otherwise.
+
+The design targets Iceberg (north rule: "over Iceberg tables ... at
+10^12-document scale"): the extractions table is partitioned by
+``bucket(N, doc_id)``; upserts use MERGE with keep-latest semantics mirroring
+the reference's catalog upsert (/root/reference/scripts/object_handling.py:221-246:
+replace task on same key, dedupe keep-latest).
+
+This sandbox ships no iceberg-spark-runtime jar, so the same interface is
+implemented over a parquet directory layout with identical semantics:
+
+  <root>/extractions/bucket=K/*.parquet   (dynamic partition overwrite = the
+                                           per-bucket idempotent upsert)
+  <root>/checkpoints/*.parquet            (append-only lineage/metrics log)
+
+``iceberg_available`` probes the catalog so the Iceberg path lights up when a
+cluster provides the runtime (spark-submit --packages org.apache.iceberg:...).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+EXTRACTIONS = "extractions"
+CHECKPOINTS = "checkpoints"
+
+
+def iceberg_available(spark: SparkSession, catalog: str = "ocr") -> bool:
+    try:
+        spark.conf.get(f"spark.sql.catalog.{catalog}")
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class ParquetStore:
+    """Parquet-directory tables with per-bucket idempotent overwrite."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def write_extractions(self, df: DataFrame) -> None:
+        """df must carry a `bucket` column; overwrites only touched buckets
+        (idempotent per bucket — the MERGE-equivalent for full-bucket
+        recomputes, which is exactly what checkpointed batches produce)."""
+        (
+            df.write.partitionBy("bucket")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self._path(EXTRACTIONS))
+        )
+
+    def read_extractions(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self._path(EXTRACTIONS))
+
+    def append_checkpoints(self, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self._path(CHECKPOINTS))
+
+    def read_checkpoints(self, spark: SparkSession) -> DataFrame | None:
+        path = self._path(CHECKPOINTS)
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            return None
+
+
+class IcebergStore:
+    """Same interface over a configured Iceberg catalog (cluster path).
+
+    Table DDL issued on first write:
+      CREATE TABLE IF NOT EXISTS <ns>.extractions (...)
+      USING iceberg PARTITIONED BY (bucket(N, doc_id))
+    Upsert: MERGE INTO ... ON doc_id/task_number WHEN MATCHED UPDATE
+    WHEN NOT MATCHED INSERT (keep-latest, object_handling.py:221-246 parity).
+    """
+
+    def __init__(self, spark: SparkSession, namespace: str = "ocr.db",
+                 buckets: int = 1024):
+        self.spark = spark
+        self.ns = namespace
+        self.buckets = buckets
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {namespace}")
+
+    def write_extractions(self, df: DataFrame) -> None:
+        full = f"{self.ns}.{EXTRACTIONS}"
+        df = df.drop("bucket")  # Iceberg's bucket transform replaces it
+        df.createOrReplaceTempView("_ocr_batch")
+        self.spark.sql(
+            f"""CREATE TABLE IF NOT EXISTS {full} (
+                  doc_id string, subject string, exam_version string,
+                  task_number string, points int,
+                  spans array<struct<kind:string,text:string,media_ref:string,offset:int>>)
+                USING iceberg PARTITIONED BY (bucket({self.buckets}, doc_id))"""
+        )
+        self.spark.sql(
+            f"""MERGE INTO {full} t USING _ocr_batch s
+                ON t.doc_id = s.doc_id AND t.task_number = s.task_number
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *"""
+        )
+
+    def read_extractions(self, spark: SparkSession) -> DataFrame:
+        return spark.table(f"{self.ns}.{EXTRACTIONS}")
+
+    def append_checkpoints(self, df: DataFrame) -> None:
+        df.writeTo(f"{self.ns}.{CHECKPOINTS}").createOrReplace() if not self.spark.catalog.tableExists(
+            f"{self.ns}.{CHECKPOINTS}"
+        ) else df.writeTo(f"{self.ns}.{CHECKPOINTS}").append()
+
+    def read_checkpoints(self, spark: SparkSession) -> DataFrame | None:
+        full = f"{self.ns}.{CHECKPOINTS}"
+        return spark.table(full) if spark.catalog.tableExists(full) else None
+
+
+def get_store(spark: SparkSession, root: str):
+    if iceberg_available(spark):
+        return IcebergStore(spark)
+    return ParquetStore(root)

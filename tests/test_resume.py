@@ -1,0 +1,69 @@
+"""Checkpoint/resume tests (FIXTURES.md section 6).
+
+Kill-after-prefix then resume must produce a table identical to a clean run;
+checkpoints must carry per-bucket lineage; re-running a completed store is a
+no-op.
+"""
+
+from pyspark.sql import functions as F
+
+from ocrspark.checkpoint import run_resumable
+from ocrspark.corpus import generate_docs
+from ocrspark.io import ParquetStore
+from ocrspark.pipeline import extract
+
+
+def _canon(df):
+    return df.select(
+        "doc_id", "subject", "exam_version", "task_number", "points",
+        F.to_json("spans").alias("sj"),
+    )
+
+
+def test_resume_equals_clean_run(spark, tmp_path):
+    docs = generate_docs(spark, 40, seed=5)
+
+    # clean single-shot pipeline result
+    clean = _canon(extract(docs))
+
+    # killed run: only 1 of 4 batches completes
+    store = ParquetStore(str(tmp_path / "store"))
+    r1 = run_resumable(spark, docs, store, buckets=8, batches=4, max_batches=1,
+                       input_snapshot_id="snap-1")
+    assert r1["batches_run"] == 1
+    cps = store.read_checkpoints(spark)
+    done_after_kill = {r.bucket for r in cps.select("bucket").distinct().collect()}
+    assert 0 < len(done_after_kill) < 8
+
+    # resume: finishes the rest, skipping completed buckets
+    r2 = run_resumable(spark, docs, store, buckets=8, batches=4,
+                       input_snapshot_id="snap-1")
+    assert set(r2["buckets_done"]) == set(range(8))
+
+    final = _canon(store.read_extractions(spark).drop("bucket"))
+    assert final.count() == clean.count() > 0
+    assert final.exceptAll(clean).count() == 0
+    assert clean.exceptAll(final).count() == 0
+
+    # third run: nothing pending, no-op
+    r3 = run_resumable(spark, docs, store, buckets=8, batches=4)
+    assert r3["batches_run"] == 0
+
+
+def test_checkpoint_lineage_and_metrics(spark, tmp_path):
+    docs = generate_docs(spark, 20, seed=6)
+    store = ParquetStore(str(tmp_path / "store"))
+    run_resumable(spark, docs, store, buckets=4, batches=2,
+                  input_snapshot_id="snapshot-abc", run_id="run-1")
+    cps = store.read_checkpoints(spark)
+    rows = cps.collect()
+    assert {r.bucket for r in rows} == {0, 1, 2, 3}
+    assert all(r.run_id == "run-1" for r in rows)
+    assert all(r.input_snapshot_id == "snapshot-abc" for r in rows)
+    assert all(r.completed_at is not None for r in rows)
+    # metrics reconcile with the stored table
+    ext = store.read_extractions(spark)
+    assert sum(r.task_count for r in rows) == ext.count()
+    assert sum(r.span_count for r in rows) == ext.select(
+        F.sum(F.size("spans"))).collect()[0][0]
+    assert sum(r.doc_count for r in rows) == ext.select("doc_id").distinct().count()
