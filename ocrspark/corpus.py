@@ -86,8 +86,15 @@ HEADER_ADMIN = [
 POINTS_POOL = [1, 2, 2, 2, 4, 5, 15]
 
 
-def make_doc(seed: int, index: int, fat_doc_rate: float = 0.0) -> tuple[str, list[tuple[str, str, str, int]]]:
-    """Build one document's span list. Pure function of (seed, index)."""
+def make_doc(seed: int, index: int, fat_doc_rate: float = 0.0,
+             portable: bool = False) -> tuple[str, list[tuple[str, str, str, int]]]:
+    """Build one document's span list. Pure function of (seed, index).
+
+    ``portable=True`` avoids content whose recovery needs regex
+    backreferences (stutter runs, long dash runs) so the DuckDB oracle —
+    RE2 has no backrefs — can reproduce the pipeline exactly; the de-stutter
+    path keeps its own pytest coverage on the default profile.
+    """
     rng = np.random.default_rng([seed, index])
     fam_codes, subject = SUBJECT_FAMILIES[int(rng.integers(len(SUBJECT_FAMILIES)))]
     season_word, _ = SEASONS[int(rng.integers(len(SEASONS)))]
@@ -127,7 +134,7 @@ def make_doc(seed: int, index: int, fat_doc_rate: float = 0.0) -> tuple[str, lis
         n = first_n + t
         if n > 99:
             break  # marker grammar is 1-2 digits
-        stutter = rng.random() < 0.1
+        stutter = (not portable) and rng.random() < 0.1
         sent = SENTENCES[int(rng.integers(len(SENTENCES)))]
         if t == degenerate_at:
             add("text", f"{n} Se figur.")
@@ -147,9 +154,10 @@ def make_doc(seed: int, index: int, fat_doc_rate: float = 0.0) -> tuple[str, lis
         for s in range(n_img):
             k = seq_per_task.get(n, 0)
             seq_per_task[n] = k + 1
-            add("image",
-                IMAGE_OCR_NOISE[int(rng.integers(len(IMAGE_OCR_NOISE)))],
-                f"{subject}_{version}_{n}_{k}.png")
+            noise = IMAGE_OCR_NOISE[int(rng.integers(len(IMAGE_OCR_NOISE)))]
+            if portable:
+                noise = noise.replace("———", "—")
+            add("image", noise, f"{subject}_{version}_{n}_{k}.png")
         # body text, math payloads, admin noise
         for _ in range(int(rng.integers(1, 5)) * body_scale):
             body = SENTENCES[int(rng.integers(len(SENTENCES)))]
@@ -187,10 +195,11 @@ def make_doc(seed: int, index: int, fat_doc_rate: float = 0.0) -> tuple[str, lis
     return doc_id, spans
 
 
-def _doc_batch(seed: int, idx: np.ndarray, fat_doc_rate: float) -> pd.DataFrame:
+def _doc_batch(seed: int, idx: np.ndarray, fat_doc_rate: float,
+               portable: bool = False) -> pd.DataFrame:
     rows = []
     for i in idx:
-        doc_id, spans = make_doc(seed, int(i), fat_doc_rate)
+        doc_id, spans = make_doc(seed, int(i), fat_doc_rate, portable)
         rows.append({
             "doc_id": doc_id,
             "spans": [
@@ -202,14 +211,14 @@ def _doc_batch(seed: int, idx: np.ndarray, fat_doc_rate: float) -> pd.DataFrame:
 
 
 def generate_docs(spark, n_docs: int, seed: int = 42, fat_doc_rate: float = 0.0,
-                  partitions: int | None = None):
+                  partitions: int | None = None, portable: bool = False):
     """Distributed docs table: (doc_id, spans). No driver-side loop."""
     partitions = partitions or max(spark.sparkContext.defaultParallelism, 4)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _doc_batch(seed, pdf["id"].to_numpy(), fat_doc_rate)
+                yield _doc_batch(seed, pdf["id"].to_numpy(), fat_doc_rate, portable)
 
     return (
         spark.range(0, n_docs, numPartitions=partitions)
@@ -218,7 +227,8 @@ def generate_docs(spark, n_docs: int, seed: int = 42, fat_doc_rate: float = 0.0,
 
 
 def expected_extractions(spark, n_docs: int, seed: int = 42,
-                         fat_doc_rate: float = 0.0, partitions: int | None = None):
+                         fat_doc_rate: float = 0.0, partitions: int | None = None,
+                         portable: bool = False):
     """Ground-truth extractions per the pyref spec (test oracle)."""
     partitions = partitions or max(spark.sparkContext.defaultParallelism, 4)
 
@@ -226,7 +236,7 @@ def expected_extractions(spark, n_docs: int, seed: int = 42,
         for pdf in batches:
             rows = []
             for i in pdf["id"].to_numpy():
-                doc_id, spans = make_doc(seed, int(i), fat_doc_rate)
+                doc_id, spans = make_doc(seed, int(i), fat_doc_rate, portable)
                 out = pyref.extract_doc(doc_id, spans)
                 for task in out.tasks:
                     rows.append({
