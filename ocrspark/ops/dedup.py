@@ -1,0 +1,151 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shape: never all-pairs.  Exact dedup is one hash-groupBy; near-dup
+candidates come from LSH band buckets (pairs only within a bucket), then an
+exact Jaccard verify on the candidates.  All hashing is md5-prefix based so
+the DuckDB oracle reproduces results bit-for-bit.
+
+MinHash constants: 8 permutations (a_j * h + b_j) mod p over 48-bit shingle
+hashes; p = 2^31-1 keeps products < 2^63 (no bigint overflow under ANSI).
+Bands: 4 bands x 2 rows — near-dup probability curve suited to jaccard>=0.5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+P = 2_147_483_647  # 2^31 - 1
+MINHASH_A = [1299721, 1299817, 1300033, 1300109, 1300211, 1300297, 1300393, 1300481]
+MINHASH_B = [15485863, 15485867, 15485917, 15485927, 15485933, 15485941, 15485959, 15485989]
+N_HASH = 8
+N_BANDS = 4
+ROWS_PER_BAND = 2
+SIMHASH_BITS = 32
+
+
+def _words(text_col):
+    return F.regexp_extract_all(F.lower(text_col), F.lit(r"[a-z0-9]+"), 0)
+
+
+def exact_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by canonical-text md5 (hash groupBy)."""
+    canon = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return (
+        docs.select(F.md5(canon).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles with a 48-bit md5-prefix integer hash."""
+    words = _words(F.col(text_col))
+    # guard: F.sequence(0, k) DESCENDS for k < 0, so short docs get an
+    # explicit empty gram list
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    return out.withColumn(
+        "h", F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10).cast("long")
+    )
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key): LSH band keys from 8 minhashes."""
+    mins = [
+        F.min((F.lit(MINHASH_A[j]) * (F.col("h") % P) + F.lit(MINHASH_B[j])) % P).alias(f"mh{j}")
+        for j in range(N_HASH)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                (F.col(f"mh{b * ROWS_PER_BAND}") * P + F.col(f"mh{b * ROWS_PER_BAND + 1}")).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Self-join within (band_id, band_key) buckets; doc1 < doc2, distinct."""
+    a = signatures.alias("a")
+    b = signatures.alias("b")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+
+
+def jaccard_verify(pairs: DataFrame, sh: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard on candidate pairs via shingle-set joins.
+
+    Output keeps jaccard in integer basis points for exact comparison.
+    """
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sh.select(F.col("doc_id").alias("doc1"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("doc2"), "shingle")
+    inter = (
+        pairs.join(s1, "doc1")
+        .join(s2, ["doc2", "shingle"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    j = (
+        inter.join(counts.withColumnsRenamed({"doc_id": "doc1", "n": "n1"}), "doc1")
+        .join(counts.withColumnsRenamed({"doc_id": "doc2", "n": "n2"}), "doc2")
+        .withColumn(
+            "jaccard_bp",
+            F.floor(
+                F.col("n_inter") * 10000
+                / (F.col("n1") + F.col("n2") - F.col("n_inter"))
+            ).cast("long"),
+        )
+    )
+    return j.filter(F.col("jaccard_bp") >= int(threshold * 10000)).select(
+        "doc1", "doc2", "jaccard_bp"
+    )
+
+
+def minhash_dedup(docs: DataFrame, text_col: str = "text",
+                  threshold: float = 0.5) -> DataFrame:
+    """Full near-dup pipeline: shingle -> minhash -> band join -> verify."""
+    sh = shingles(docs, text_col)
+    pairs = lsh_candidate_pairs(minhash_signatures(sh))
+    return jaccard_verify(pairs, sh, threshold)
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over word hashes (per-bit majority vote).
+
+    Computed as 32 conditional aggregates over exploded words — one shuffle,
+    no per-row Python.
+    """
+    words = docs.select(
+        "doc_id",
+        F.explode(_words(F.col(text_col))).alias("w"),
+    ).withColumn("h", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = words.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else (sim + bit)
+    return agg.select("doc_id", sim.alias("simhash"))

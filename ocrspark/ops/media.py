@@ -1,0 +1,97 @@
+"""Multimodal plumbing: opaque binary media columns with typed metadata.
+
+At 10^12-doc scale pixel payloads never ride through the extraction shuffle —
+documents carry ``media_ref`` strings (the reference's PNG filename contract,
+/root/reference/scripts/extract_images.py:256-284) and media bytes live in
+their own table keyed by media_ref.
+
+The decode step is STUBBED (this container ships no image/audio codecs): the
+Spark-side plumbing — schema, Arrow batching, partitioning — is real and
+tested with a deterministic fake decoder; swap ``fake_decode`` for a real
+codec on a cluster by passing ``decoder=``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("feature", T.ArrayType(T.FloatType()), True),
+])
+
+
+def fake_decode(refs: pd.Series, payloads: pd.Series) -> pd.DataFrame:
+    """Deterministic stand-in for an image decode + feature extraction.
+
+    Pure function of (media_ref, payload bytes): 'dimensions' and an 8-dim
+    'feature' derived from sha256 — vectorized, reproducible, codec-free.
+    """
+    digests = refs.fillna("").map(lambda r: hashlib.sha256(r.encode()).digest())
+    arr = np.frombuffer(b"".join(digests), dtype=np.uint8).reshape(len(refs), 32)
+    widths = (arr[:, 0].astype(np.int32) % 64 + 1) * 32
+    heights = (arr[:, 1].astype(np.int32) % 64 + 1) * 32
+    nbytes = payloads.map(lambda b: len(b) if b is not None else 0).astype("int64")
+    feats = (arr[:, 2:10].astype(np.float32) / 255.0)
+    return pd.DataFrame({
+        "media_ref": refs,
+        "width": widths,
+        "height": heights,
+        "n_bytes": nbytes,
+        "feature": list(feats),
+    })
+
+
+def real_decode(refs: pd.Series, payloads: pd.Series) -> pd.DataFrame:
+    """Placeholder for a real codec path (PIL/libvips on a cluster)."""
+    raise NotImplementedError(
+        "image codecs are not available in this environment; "
+        "pass decoder=fake_decode or provide a codec-backed decoder"
+    )
+
+
+def extract_media_features(media: DataFrame, decoder=fake_decode) -> DataFrame:
+    """media(media_ref string, payload binary) -> typed feature rows.
+
+    Arrow-batched ``mapInPandas``; batch shape bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch so a partition of large
+    payloads cannot blow executor memory.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf):
+                yield decoder(pdf["media_ref"], pdf.get("payload"))
+
+    cols = media.select("media_ref", *(
+        [F.col("payload")] if "payload" in media.columns else [F.lit(None).cast("binary").alias("payload")]
+    ))
+    return cols.mapInPandas(batches, schema=MEDIA_FEATURES_SCHEMA)
+
+
+def media_inventory(extractions: DataFrame) -> DataFrame:
+    """Per-task media sequence numbering (S8/A5/T13 parity: the reference's
+    {subject}_{version}_{task}_{seq}.png filename contract)."""
+    imgs = (
+        extractions.select(
+            "doc_id", "task_number", F.explode("spans").alias("s")
+        )
+        .filter(F.col("s.kind") == "image")
+        .select("doc_id", "task_number", F.col("s.media_ref").alias("media_ref"),
+                F.col("s.offset").alias("off"))
+    )
+    w = Window.partitionBy("doc_id", "task_number").orderBy("off")
+    return imgs.select(
+        "doc_id", "task_number", "media_ref",
+        (F.row_number().over(w) - 1).alias("seq"),
+    )

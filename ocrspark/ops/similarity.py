@@ -1,0 +1,94 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — brute-force exact top-k: the correctness baseline.
+  Query side is small (filtered) and broadcast; candidate side streams.
+  Ranking keys are rounded (1e-9) with id tiebreaks so Spark and the DuckDB
+  oracle rank identically despite float summation differences.
+* ``lsh_buckets`` — the scale path: deterministic hyperplane signs bucket
+  vectors so neighbor search only probes one bucket (plus neighbors at
+  query time).  Hyperplane weights are integer pseudo-random (hash-mixed),
+  portable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_PLANES = 12
+DIM = 64
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine_topk(emb: DataFrame, k: int = 10, query_mod: int = 25) -> DataFrame:
+    """Exact top-k cosine neighbors for query vectors (vec_id % query_mod == 0).
+
+    Plan shape: broadcast(query) x candidates -> window top-k.  At 100TB the
+    query side stays small by construction; the candidate scan is one pass.
+    """
+    from pyspark.sql import Window
+
+    q = emb.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    sim = F.round(_dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))), 9)
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim9"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim9").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id",
+                F.round(F.col("sim9") * 1e9).cast("long").alias("sim_e9"))
+    )
+
+
+def _plane_weight(plane: int, dim_idx):
+    """Deterministic integer hyperplane weight in [-1000, 1000]."""
+    return (dim_idx * 2654435761 + F.lit(plane * 40503 + 7919)) % 2001 - 1000
+
+
+def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector (sign pattern -> int bucket).
+
+    dot_p = sum_i w(p, i) * x_i with integer weights; sign decided on the
+    rounded value so engines agree at the boundary.
+    """
+    with_idx = F.zip_with(
+        F.col("embedding"),
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda x, i: F.struct(x.cast("double").alias("x"), i.alias("i")),
+    )
+    def _dot_for(p: int):
+        # closure (not a default arg: Spark counts lambda params strictly)
+        return F.aggregate(
+            with_idx,
+            F.lit(0.0),
+            lambda acc, s: acc + s["x"] * _plane_weight(p, s["i"]).cast("double"),
+        )
+
+    bucket = None
+    for p in range(n_planes):
+        dot_p = _dot_for(p)
+        bit = F.when(F.round(dot_p, 6) >= 0, F.lit(2 ** p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bit if bucket is None else (bucket + bit)
+    return emb.select("vec_id", bucket.alias("bucket"))

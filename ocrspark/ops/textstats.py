@@ -1,0 +1,82 @@
+"""Text-analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting.
+
+All integer/string outputs (floats are scaled to integers) so results
+value-hash identically across Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# n-gram/stopword heuristics: tiny fixed lexica, ASCII-only patterns.
+EN_STOPWORDS = r"\b(the|and|of|to|in|is|for|with|on|that|this|a)\b"
+NO_STOPWORDS = r"\b(og|i|det|som|en|er|på|av|til|for|med|den)\b"
+WORD_RE = r"[A-Za-z]+"
+PUNCT_RE = r"[^A-Za-z0-9\s]"
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-ratio language ID (en vs no vs unknown)."""
+    t = F.lower(F.col(text_col))
+    en = F.size(F.regexp_extract_all(t, F.lit(EN_STOPWORDS), 0))
+    no = F.size(F.regexp_extract_all(t, F.lit(NO_STOPWORDS), 0))
+    pred = (
+        F.when(en > no, F.lit("en"))
+        .when(no > en, F.lit("no"))
+        .otherwise(F.lit("unknown"))
+    )
+    return docs.select(
+        "doc_id", en.alias("en_hits"), no.alias("no_hits"), pred.alias("pred_lang")
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality: length band + punctuation ratio + stopword ratio.
+
+    Score scaled to integer basis points (x10000) for cross-engine hashing.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = F.size(F.regexp_extract_all(t, F.lit(r"\S+"), 0))
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(PUNCT_RE), 0))
+    n_stop = F.size(F.regexp_extract_all(F.lower(t), F.lit(EN_STOPWORDS), 0))
+    len_ok = (n_chars >= 100) & (n_chars <= 20000)
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    stop_ratio = n_stop.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    score = (
+        F.when(len_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio < 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.least(stop_ratio * 3.0, F.lit(0.3))
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        n_punct.alias("n_punct"),
+        F.round(score * 10000).cast("long").alias("quality_bp"),
+    )
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (ceil(len/4) per word,
+    exact integer arithmetic)."""
+    words = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
+    subwords = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.floor((F.length(w) + 3) / 4).cast("long"),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_tokens"),
+        subwords.alias("n_subword_est"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical-text fingerprint: md5 of lowercased whitespace-squeezed text
+    (exact-dup key; md5 is bit-identical across engines)."""
+    canon = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return docs.select("doc_id", F.md5(canon).alias("fp"))
