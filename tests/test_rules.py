@@ -130,3 +130,17 @@ def test_recover_text(spark):
     assert got == [pyref.recover_text(t) for t in cases]
     assert pyref.recover_text("\u2014\u2014\u2014 \u2014\u2014 \u2014") == "\u2014 \u2014\u2014 \u2014"
     assert pyref.recover_text("abc 1000") == "abc 1000"  # digits untouched
+
+
+FUSED_EDGE_CASES = [
+    "x_a+b", "x_12/3", "1/2/3", "a=3/4", "x**2", "x^2", "a−b;c",
+    "√2 ÷ π ≈ 0,45", "∑ F = m×a; a = 9,81", "(a+b)*(c-d)/e",
+    "  spaces   everywhere  ", "_lead", "tail_", "5/x", "x/5", "//",
+    "a = b = c", "10/20 er 1/2", "x_1 + x_2 = ∞", "E = m×c^2 − W",
+]
+
+
+def test_normalize_edge_cases(spark):
+    cases = NORM_CASES + FUSED_EDGE_CASES
+    got = _col_eval(spark, rules.normalize_math(F.col("text")), cases)
+    assert got == [pyref.normalize_math(t) for t in cases]
