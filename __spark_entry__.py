@@ -186,6 +186,10 @@ def _q_lsh_buckets(spark, sf_dir):
     return similarity.lsh_buckets(_tbl(spark, sf_dir, "embeddings"))
 
 
+def _q_lsh_search(spark, sf_dir):
+    return similarity.lsh_search(_tbl(spark, sf_dir, "embeddings"))
+
+
 def _q_sessionize_events(spark, sf_dir):
     # parquet ts arrives as TIMESTAMP_NTZ; gaps are shift-invariant so the
     # LTZ cast (session-tz interpretation) cannot change session boundaries
@@ -207,6 +211,21 @@ def _q_sessionize_events(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.min("event_id").alias("first_event"),
         F.max("event_id").alias("last_event"),
+    )
+
+
+def _q_windowed_counts(spark, sf_dir):
+    """Tumbling-window event counts (streaming.windowed_event_counts shape,
+    exact-distinct variant so the DuckDB oracle matches; NTZ-formatted
+    window start avoids timezone coupling)."""
+    e = _tbl(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour")
+    return e.groupBy(win.alias("win"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    ).select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH").alias("win_start"),
+        "event_type", "n_events", "n_users",
     )
 
 
@@ -287,7 +306,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "ann_cosine_topk": _q_cosine_topk,
         "ann_lsh_buckets": _q_lsh_buckets,
+        "ann_lsh_search": _q_lsh_search,
         "w2_sessionize_events": _q_sessionize_events,
+        "w1_windowed_event_counts": _q_windowed_counts,
         "j4_keeplatest_orders": _q_keeplatest,
         "j2_broadcast_region_join": _q_broadcast_join,
         "w5_topk_per_group": _q_topk_per_group,
@@ -484,14 +505,39 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
 FROM r WHERE rank <= 10"""
 
 
-def _sql_lsh_buckets() -> str:
-    planes = " + ".join(
+def _planes_expr(n_planes: int) -> str:
+    return " + ".join(
         f"CASE WHEN round(list_sum(list_transform(generate_series(1, 64), "
         f"i -> embedding[i]::DOUBLE * ((((i-1) * 2654435761 + {p * 40503 + 7919}) % 2001 - 1000)::DOUBLE))), 6) >= 0 "
         f"THEN CAST({2**p} AS BIGINT) ELSE 0 END"
-        for p in range(similarity.N_PLANES)
+        for p in range(n_planes)
     )
-    return f"SELECT vec_id, {planes} AS bucket FROM embeddings"
+
+
+def _sql_lsh_buckets() -> str:
+    return f"SELECT vec_id, {_planes_expr(similarity.N_PLANES)} AS bucket FROM embeddings"
+
+
+def _sql_lsh_search(k: int = 5, n_planes: int = 8) -> str:
+    dot = "list_sum(list_transform(generate_series(1, 64), i -> qe[i]::DOUBLE * ce[i]::DOUBLE))"
+    nq = "sqrt(list_sum(list_transform(generate_series(1, 64), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))"
+    nc = "sqrt(list_sum(list_transform(generate_series(1, 64), i -> ce[i]::DOUBLE * ce[i]::DOUBLE)))"
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {_planes_expr(n_planes)} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b WHERE vec_id % 25 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce, bucket FROM b),
+p AS (
+  SELECT query_id, neighbor_id, round({dot} / ({nq} * {nc}), 9) AS sim9
+  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY sim9 DESC, neighbor_id ASC) AS rank
+  FROM p
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+       CAST(round(sim9 * 1e9) AS BIGINT) AS sim_e9
+FROM r WHERE rank <= {k}"""
 
 
 def _sql_sessionize_events() -> str:
@@ -534,7 +580,14 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _sql_fingerprint(),
         "ann_cosine_topk": _sql_cosine_topk(),
         "ann_lsh_buckets": _sql_lsh_buckets(),
+        "ann_lsh_search": _sql_lsh_search(),
         "w2_sessionize_events": _sql_sessionize_events(),
+        "w1_windowed_event_counts": (
+            "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H')"
+            " AS win_start, event_type, count(*) AS n_events,"
+            " count(DISTINCT user_id) AS n_users"
+            " FROM events GROUP BY 1, 2"
+        ),
         "j4_keeplatest_orders": (
             "SELECT o_custkey, o_orderkey FROM ("
             "SELECT o_custkey, o_orderkey, row_number() OVER ("

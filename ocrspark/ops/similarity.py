@@ -60,6 +60,44 @@ def cosine_topk(emb: DataFrame, k: int = 10, query_mod: int = 25) -> DataFrame:
     )
 
 
+def lsh_search(emb: DataFrame, k: int = 5, query_mod: int = 25,
+               n_planes: int = 8) -> DataFrame:
+    """Bucketed ANN: LSH bucket join -> exact cosine rerank within bucket.
+
+    The scale path: instead of |Q| x |C| pairs, only same-bucket pairs are
+    scored (expected |C| / 2^planes candidates per query).  Recall is
+    tunable via n_planes / multi-probe; correctness baseline is
+    ``cosine_topk``.
+    """
+    from pyspark.sql import Window
+
+    b = lsh_buckets(emb, n_planes)
+    e = emb.join(b, "vec_id")
+    q = e.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "bucket"
+    )
+    sim = F.round(
+        _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))), 9
+    )
+    pairs = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim9"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim9").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id",
+                F.round(F.col("sim9") * 1e9).cast("long").alias("sim_e9"))
+    )
+
+
 def _plane_weight(plane: int, dim_idx):
     """Deterministic integer hyperplane weight in [-1000, 1000]."""
     return (dim_idx * 2654435761 + F.lit(plane * 40503 + 7919)) % 2001 - 1000
