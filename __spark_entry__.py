@@ -190,6 +190,11 @@ def _q_lsh_search(spark, sf_dir):
     return similarity.lsh_search(_tbl(spark, sf_dir, "embeddings"))
 
 
+def _q_embedding_near_dups(spark, sf_dir):
+    return similarity.embedding_near_dups(_tbl(spark, sf_dir, "embeddings"),
+                                          threshold=0.4)
+
+
 def _q_sessionize_events(spark, sf_dir):
     # parquet ts arrives as TIMESTAMP_NTZ; gaps are shift-invariant so the
     # LTZ cast (session-tz interpretation) cannot change session boundaries
@@ -307,6 +312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_cosine_topk,
         "ann_lsh_buckets": _q_lsh_buckets,
         "ann_lsh_search": _q_lsh_search,
+        "dedup_embedding_cosine": _q_embedding_near_dups,
         "w2_sessionize_events": _q_sessionize_events,
         "w1_windowed_event_counts": _q_windowed_counts,
         "j4_keeplatest_orders": _q_keeplatest,
@@ -581,6 +587,16 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _sql_cosine_topk(),
         "ann_lsh_buckets": _sql_lsh_buckets(),
         "ann_lsh_search": _sql_lsh_search(),
+        "dedup_embedding_cosine": (
+            "WITH a AS (SELECT vec_id AS id1, embedding AS qe FROM embeddings),\n"
+            "b AS (SELECT vec_id AS id2, embedding AS ce FROM embeddings),\n"
+            "p AS (SELECT id1, id2, CAST(round(round("
+            "list_sum(list_transform(generate_series(1, 64), i -> qe[i]::DOUBLE * ce[i]::DOUBLE)) / "
+            "(sqrt(list_sum(list_transform(generate_series(1, 64), i -> qe[i]::DOUBLE * qe[i]::DOUBLE))) * "
+            "sqrt(list_sum(list_transform(generate_series(1, 64), i -> ce[i]::DOUBLE * ce[i]::DOUBLE))))"
+            ", 9) * 1e9) AS BIGINT) AS sim_e9 FROM a JOIN b ON id1 < id2)\n"
+            "SELECT id1, id2, sim_e9 FROM p WHERE sim_e9 >= 400000000"
+        ),
         "w2_sessionize_events": _sql_sessionize_events(),
         "w1_windowed_event_counts": (
             "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H')"

@@ -98,6 +98,24 @@ def lsh_search(emb: DataFrame, k: int = 5, query_mod: int = 25,
     )
 
 
+def embedding_near_dups(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family, SURVEY-adjacent).
+
+    Exact all-pairs above a cosine threshold; at scale the candidate side
+    would be pre-bucketed by ``lsh_buckets`` — here the exact form doubles as
+    the recall baseline for that path.  Integer (1e9-scaled) similarity for
+    engine-exact comparison.
+    """
+    a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("qe"))
+    b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("ce"))
+    sim = F.round(_dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))), 9)
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", F.round(sim * 1e9).cast("long").alias("sim_e9"))
+        .filter(F.col("sim_e9") >= int(threshold * 1e9))
+    )
+
+
 def _plane_weight(plane: int, dim_idx):
     """Deterministic integer hyperplane weight in [-1000, 1000]."""
     return (dim_idx * 2654435761 + F.lit(plane * 40503 + 7919)) % 2001 - 1000
