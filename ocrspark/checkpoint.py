@@ -73,7 +73,10 @@ def run_resumable(
         store.write_extractions(out)
 
         # lineage/metrics from what actually landed (read-back, not recompute)
-        written = store.read_extractions(spark).filter(F.col("bucket").isin(group))
+        written = store.read_extractions(spark)
+        if "bucket" not in written.columns:  # Iceberg store hides the transform
+            written = with_bucket(written, buckets)
+        written = written.filter(F.col("bucket").isin(group))
         stats = written.groupBy("bucket").agg(
             F.countDistinct("doc_id").alias("doc_count"),
             F.count(F.lit(1)).alias("task_count"),

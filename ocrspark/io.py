@@ -111,9 +111,11 @@ class IcebergStore:
         return spark.table(f"{self.ns}.{EXTRACTIONS}")
 
     def append_checkpoints(self, df: DataFrame) -> None:
-        df.writeTo(f"{self.ns}.{CHECKPOINTS}").createOrReplace() if not self.spark.catalog.tableExists(
-            f"{self.ns}.{CHECKPOINTS}"
-        ) else df.writeTo(f"{self.ns}.{CHECKPOINTS}").append()
+        full = f"{self.ns}.{CHECKPOINTS}"
+        if self.spark.catalog.tableExists(full):
+            df.writeTo(full).append()
+        else:
+            df.writeTo(full).create()
 
     def read_checkpoints(self, spark: SparkSession) -> DataFrame | None:
         full = f"{self.ns}.{CHECKPOINTS}"

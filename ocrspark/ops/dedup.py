@@ -12,7 +12,7 @@ Bands: 4 bands x 2 rows — near-dup probability curve suited to jaccard>=0.5.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 P = 2_147_483_647  # 2^31 - 1
