@@ -210,7 +210,8 @@ def _q_sessionize_events(spark, sf_dir):
     ).otherwise(0)
     s = e.withColumn("new_s", new_s).withColumn(
         "session_seq",
-        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
     )
     return s.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -555,7 +556,10 @@ g AS (
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
 ),
 s AS (
-  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS session_seq
+  -- DuckDB's windowed sum() yields HUGEINT; cast to BIGINT so the driver's
+  -- value-hash agrees with Spark's LONG session_seq (round-1 hash mismatch).
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+                 AS BIGINT) AS session_seq
   FROM g
 )
 SELECT user_id, session_seq, count(*) AS n_events,

@@ -69,33 +69,37 @@ def run_resumable(
     for group in groups:
         batch_docs = docs_b.filter(F.col("bucket").isin(group))
         out = extract(batch_docs.select("doc_id", "spans"), arrow=arrow)
-        out = with_bucket(out, buckets)
-        store.write_extractions(out)
-
-        # lineage/metrics from what actually landed (read-back, not recompute)
-        written = store.read_extractions(spark)
-        if "bucket" not in written.columns:  # Iceberg store hides the transform
-            written = with_bucket(written, buckets)
-        written = written.filter(F.col("bucket").isin(group))
-        stats = written.groupBy("bucket").agg(
-            F.countDistinct("doc_id").alias("doc_count"),
-            F.count(F.lit(1)).alias("task_count"),
-            F.sum(F.size("spans")).alias("span_count"),
-        )
-        # buckets that held zero docs still need a checkpoint row
-        all_rows = spark.createDataFrame(
-            [(b,) for b in group], "bucket int"
-        ).join(stats, "bucket", "left").fillna(0, ["doc_count", "task_count", "span_count"])
-        cp = all_rows.select(
-            F.lit(run_id).alias("run_id"),
-            F.col("bucket"),
-            F.col("doc_count").cast("long"),
-            F.col("task_count").cast("long"),
-            F.col("span_count").cast("long"),
-            F.lit(input_snapshot_id).alias("input_snapshot_id"),
-            F.current_timestamp().alias("completed_at"),
-        )
-        store.append_checkpoints(cp)
+        # Persist the batch once: the sink write and the metrics agg both
+        # consume the cached rows.  (A per-batch read-back of the whole
+        # extractions table is O(batches) full scans, and IcebergStore's
+        # bucket(N, doc_id) partition transform cannot prune a filter on a
+        # re-derived xxhash64 bucket column.)
+        out = with_bucket(out, buckets).persist()
+        try:
+            store.write_extractions(out)
+            stats = out.groupBy("bucket").agg(
+                F.countDistinct("doc_id").alias("doc_count"),
+                F.count(F.lit(1)).alias("task_count"),
+                F.sum(F.size("spans")).alias("span_count"),
+            )
+            # buckets that held zero docs still need a checkpoint row
+            all_rows = spark.createDataFrame(
+                [(b,) for b in group], "bucket int"
+            ).join(stats, "bucket", "left").fillna(
+                0, ["doc_count", "task_count", "span_count"]
+            )
+            cp = all_rows.select(
+                F.lit(run_id).alias("run_id"),
+                F.col("bucket"),
+                F.col("doc_count").cast("long"),
+                F.col("task_count").cast("long"),
+                F.col("span_count").cast("long"),
+                F.lit(input_snapshot_id).alias("input_snapshot_id"),
+                F.current_timestamp().alias("completed_at"),
+            )
+            store.append_checkpoints(cp)
+        finally:
+            out.unpersist()
         ran += 1
 
     return {

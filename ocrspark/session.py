@@ -27,6 +27,9 @@ def get_spark(app: str = "ocrspark", master: str | None = None,
         SparkSession.builder.appName(app)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Oracle parity for timestamp_ltz casts must not depend on the host
+        # timezone (events sessionize/window queries interpret NTZ parquet ts).
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -6,8 +6,10 @@ full extraction pipeline with an aggregate sink, prints one JSON line.
 
 Measurement discipline for a noisy shared-VM host:
   * one untimed warmup pass (JIT) on a 20% hash slice;
-  * the timed region is repeated IN-JVM (best of 3) with a cache-busting
-    literal so Spark 4's repeated-collect result reuse cannot fire;
+  * the timed region is repeated IN-JVM (best of TIMED_RUNS) with a
+    per-iteration literal added to the aggregate (and subtracted after
+    collect) so the canonicalized plans differ and Spark 4's
+    repeated-collect result reuse cannot fire;
   * the JVM's own CPU time (utime+stime from /proc/<jvmpid>/stat) is
     captured around each run — cpu_sec should be ~constant across
     parallelism levels (same work), which separates host noise from real
@@ -60,15 +62,17 @@ def main() -> None:
     for i in range(TIMED_RUNS):
         cpu0 = _jvm_cpu_sec(spark)
         t0 = time.time()
+        # `+ lit(i+1)` survives constant folding (unlike `* 0`), so each
+        # iteration's canonicalized plan is distinct; undone after collect.
         row = extract(docs).agg(
-            (F.sum(F.size("spans")) + F.lit(i) * 0).alias("n_spans"),
+            (F.sum(F.size("spans")) + F.lit(i + 1)).alias("n_spans"),
             F.count(F.lit(1)).alias("n_tasks"),
         ).collect()[0]
         wall = time.time() - t0
         cpu = _jvm_cpu_sec(spark) - cpu0
         if best is None or wall < best["wall_sec"]:
             best = {"wall_sec": round(wall, 2), "cpu_sec": round(cpu, 1),
-                    "n_tasks": row.n_tasks, "n_spans": int(row.n_spans)}
+                    "n_tasks": row.n_tasks, "n_spans": int(row.n_spans) - (i + 1)}
 
     print(json.dumps({
         "parallelism": cores,
