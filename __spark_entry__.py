@@ -146,6 +146,40 @@ def _q_media_inventory(spark, sf_dir):
     return media.media_inventory(extract(_docs(spark)))
 
 
+def _q_g7_repair(spark, sf_dir):
+    """G7 short-task merge wired through extract() (catalyst fold path)."""
+    return extract(_docs(spark)).select(
+        "doc_id", "task_number", "task_text", "was_merged"
+    )
+
+
+def _q_g7_arrow(spark, sf_dir):
+    """G7 via the sanctioned applyInPandas stage (ocrspark.merge), fed the
+    raw surviving task texts; oracle shares the same list_reduce fold."""
+    from ocrspark.merge import merge_short_tasks
+    from ocrspark.segment import segment
+
+    seg = segment(stage1(_docs(spark)), merge=False)
+    tasks = seg.select("doc_id", F.explode("tasks").alias("t")).select(
+        "doc_id",
+        F.col("t.task_number").alias("task_number"),
+        F.col("t.task_text_raw").alias("task_text"),
+    )
+    return merge_short_tasks(tasks)
+
+
+def _q_topic(spark, sf_dir):
+    """P11 keyword-lexicon topic per task."""
+    return extract(_docs(spark)).select("doc_id", "task_number", "topic")
+
+
+def _q_html(spark, sf_dir):
+    """P13 deterministic HTML templating per task."""
+    return extract(_docs(spark)).select(
+        "doc_id", "task_number", "task_text_html"
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     return dedup.exact_groups(_tbl(spark, sf_dir, "documents"))
 
@@ -302,6 +336,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t2_t5_normalize_math": _q_normalize,
         "p12_strip_admin": _q_strip_admin,
         "s8_media_inventory": _q_media_inventory,
+        "g7_merge_repair": _q_g7_repair,
+        "g7_merge_arrow": _q_g7_arrow,
+        "p11_topic_assign": _q_topic,
+        "p13_format_html": _q_html,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_minhash_signatures": _q_minhash_sigs,
         "dedup_minhash_pairs": _q_minhash_pairs,
@@ -577,6 +615,10 @@ def oracle_sql() -> dict[str, str]:
         "t2_t5_normalize_math": _sql_normalize(),
         "p12_strip_admin": _sql_strip_admin(),
         "s8_media_inventory": _sql_media_inventory(),
+        "g7_merge_repair": O.sql_g7_repair(_fixture_rel()),
+        "g7_merge_arrow": O.sql_g7_repair(_fixture_rel(), raw=True),
+        "p11_topic_assign": O.sql_topic_assign(_fixture_rel()),
+        "p13_format_html": O.sql_format_html(_fixture_rel()),
         "dedup_exact_groups": (
             f"SELECT md5({_CANON}) AS fp, count(*) AS dup_count, "
             "min(doc_id) AS keep_doc_id FROM documents GROUP BY 1"

@@ -56,15 +56,43 @@ def output_spans(sp: Column) -> Column:
 
 def assemble(segmented: DataFrame) -> DataFrame:
     """Per-doc task arrays -> extractions(doc_id, subject, exam_version,
-    task_number, points, spans)."""
+    task_number, points, topic, task_text, task_text_html, was_merged,
+    spans).
+
+    Text-level outputs (topic/task_text/html) follow the reference's task
+    chain (P8 identity -> P12 strip -> T1-T5 normalize -> P11 topic -> P13
+    HTML); the span array stays the span-level truth (north-rule invariant).
+    Whole-stage codegen CSE shares the repeated span-chain subexpressions.
+    """
     exploded = segmented.select(
         "doc_id", "subject", "exam_version", F.explode("tasks").alias("t")
     )
-    return exploded.select(
+    task_text = rules.normalize_math(
+        rules.strip_admin(rules.strip_label(F.col("t.task_text_raw")))
+    )
+    out = exploded.select(
         "doc_id",
         "subject",
         "exam_version",
         F.col("t.task_number").alias("task_number"),
         F.col("t.points").alias("points"),
+        task_text.alias("task_text"),
+        F.col("t.was_merged").alias("was_merged"),
         output_spans(F.col("t.sp")).alias("spans"),
+    )
+    para_sources = F.transform(
+        F.filter(F.col("spans"), lambda s: s["kind"] == C.TEXT_KIND),
+        lambda s: s["text"],
+    )
+    return out.select(
+        "doc_id",
+        "subject",
+        "exam_version",
+        "task_number",
+        "points",
+        rules.classify_topic(F.col("task_text")).alias("topic"),
+        "task_text",
+        rules.format_html(para_sources, F.col("points")).alias("task_text_html"),
+        "was_merged",
+        "spans",
     )

@@ -174,6 +174,76 @@ SUPERSCRIPT_RE = (r"\^([A-Za-z0-9]+)", r"^{$1}")   # dead after '^'->'**', kept 
 OPERATOR_SPACE_RE = (r"([+\-*/^=()])", r" $1 ")
 
 # --------------------------------------------------------------------------
+# G7: legacy short-task forward-merge (old/taskseparation.py:29-66).
+# Walking final tasks in order, when task j's ORIGINAL raw text is shorter
+# than G7_MIN_VALID_CHARS and task j-1's ORIGINAL text has a late task-heading
+# match (at char position >= G7_HEAD_SKIP), split the CURRENT j-1 text at that
+# (original) position: head + text_j stays at j-1, the tail moves to j.  The
+# reference computes validity and match positions up front and never refreshes
+# them during the walk (taskseparation.py:33-55), so every trigger is a pure
+# function of the original texts — the walk itself is a sequential fold.
+# Pattern portability: (?i) is ASCII-only in Java, unicode in Python/RE2; the
+# only non-ASCII letter is lowercase 'å', so behavior agrees except on
+# all-caps 'OPPGÅVE' (absent from the corpus grammar and golden document).
+# --------------------------------------------------------------------------
+G7_MIN_VALID_CHARS = 100   # old/taskseparation.py:38
+G7_HEAD_SKIP = 25          # old/taskseparation.py:50
+G7_TASK_HEAD_RE = r"(?i)(oppg[aå]ve\s*[0-9]+|[0-9]+\s*\(\s*[A-Z]\s*\))"
+
+# --------------------------------------------------------------------------
+# P6/P11 + J3: deterministic topic classification (SURVEY 2.9: "heading/
+# keyword match against topic lexicon (categorizer replacement)").
+# The reference asks an LLM to pick a topic number from a per-subject enum
+# (scripts/task_processing.py:495-513, prompts/identify_topic.txt) and falls
+# back to "Unknown Topic" on 0 (:105-107).  Rule replacement: count keyword
+# hits per lexicon topic over the lowercased task text; the task's topic is
+# the max-hit entry, ties broken by lexicon order (earlier wins), zero hits
+# -> UNKNOWN_TOPIC.  Encoded as score = hits * TOPIC_SCORE_BASE + reverse
+# rank so argmax is a single greatest() in every engine (Spark / DuckDB /
+# Python).  Topic names seed from the reference's own catalog
+# (exams.json:4-13) and prompt examples (prompts/exam_topics.txt:8-12).
+# Keywords are lowercase literals, alternation order = listed order
+# (leftmost-first matching agrees across Java regex, RE2 and Python re).
+# --------------------------------------------------------------------------
+UNKNOWN_TOPIC = "Unknown Topic"
+TOPIC_SCORE_BASE = 1_000_000
+TOPIC_LEXICON = [
+    ("Rotasjonsdynamikk", ["ruller", "sylinder", "rotasjon", "treghetsmoment",
+                           "vinkelfart", "dreiemoment", "rullebetingelse"]),
+    ("Fluidmekanikk", ["massetetthet", "oppdrift", "reservoar", "fluid",
+                       "strømning", "bernoulli", "tappes", "volumstrøm"]),
+    ("Svingninger", ["svingetid", "svingning", "svinge", "pendel",
+                     "fjærkonstant", "fjær", "harmonisk", "demp", "utslaget"]),
+    ("Bølgefysikk", ["bølge", "frekvens", "interferens", "amplitude",
+                     "lydfart", "brytning"]),
+    ("Energi og Arbeid", ["energi", "arbeid", "berg-og-dalbane", "kinetisk",
+                          "potensiell", "effekt", "watt"]),
+    ("Dynamikk", ["kraft", "krefter", "friksjon", "skråplan", "newton",
+                  "glir", "tyngde", "normalkraft", "luftmotstand"]),
+    ("Kinematikk", ["akselerasjon", "fart", "hastighet", "bevegelse",
+                    "kastes", "skytes", "posisjon", "faller"]),
+    # lowest priority: "funksjon" also appears in physics phrasing ("som
+    # funksjon av tiden"), so Programmering must win on hit COUNT, never ties
+    ("Programmering", ["python", "numpy", "kode", "funksjon", "programmet",
+                       "import ", "def ", "return", "numerisk"]),
+]
+
+# --------------------------------------------------------------------------
+# P13: deterministic HTML templating (prompts/format_html_output.txt;
+# call site scripts/task_processing.py:520-532).  The published catalog's
+# task_text is HTML (exams.json:21).  Rule replacement:
+#   * one <p> paragraph per output text span (paragraph = layout container),
+#   * inline "Maks poeng" fragments removed from paragraphs,
+#   * "figuren under/nedenfor" -> "figuren over" (format_html_output.txt:13;
+#     images always render before the task text),
+#   * trailer paragraph "Maks poeng: X" from the task's extracted points
+#     (format_html_output.txt:16-18), separated by a blank line.
+# --------------------------------------------------------------------------
+HTML_POINTS_STRIP_RE = r"Maks poeng\s*:?\s*[0-9]*"
+HTML_FIGURE_RE = r"(?i)(figuren)\s+(under|nedenfor)"
+HTML_FIGURE_SUB = " over"   # applied as: $1 + HTML_FIGURE_SUB
+
+# --------------------------------------------------------------------------
 # Output contract: images render before the task text
 # (web/OCRacle.html:283-310; prompts/format_html_output.txt:13).
 # Output spans per task are images (by input offset) then texts (by input

@@ -129,6 +129,15 @@ def make_doc(seed: int, index: int, fat_doc_rate: float = 0.0,
     # --- degenerate short task position (exercises F4 gap-drop) ------------
     degenerate_at = int(rng.integers(2, n_tasks)) if (n_tasks > 3 and rng.random() < 0.2) else -1
 
+    # --- G7 glued-boundary case: the next task's heading text sits late
+    # inside this task's last container (missed boundary), and the next task
+    # itself is a short stub (raw 50..99) -> the G7 forward-merge fires.
+    g7_at = -1
+    if n_tasks > 4 and rng.random() < 0.15:
+        g7_at = int(rng.integers(1, n_tasks - 2))
+        if degenerate_at in (g7_at, g7_at + 1):
+            g7_at = -1
+
     seq_per_task: dict[int, int] = {}
     for t in range(n_tasks):
         n = first_n + t
@@ -138,6 +147,13 @@ def make_doc(seed: int, index: int, fat_doc_rate: float = 0.0,
         sent = SENTENCES[int(rng.integers(len(SENTENCES)))]
         if t == degenerate_at:
             add("text", f"{n} Se figur.")
+            add("text", f"Maks poeng: {POINTS_POOL[int(rng.integers(len(POINTS_POOL)))]}")
+            continue
+        if t == g7_at + 1 and g7_at >= 0:
+            # short stub task: survives F4 (>=50 raw chars) but is G7-invalid
+            # (<100); its real content was glued into the previous task below
+            add("text", f"{n} Se figur og svar kort her.")
+            add("text", "Begrunn svaret kort.")
             add("text", f"Maks poeng: {POINTS_POOL[int(rng.integers(len(POINTS_POOL)))]}")
             continue
         # start marker: bare number / Oppgave / Oppgåve (nynorsk variant)
@@ -180,6 +196,12 @@ def make_doc(seed: int, index: int, fat_doc_rate: float = 0.0,
         # stray "Maks poeng"-only container mid-task (F8: not a task start)
         if rng.random() < 0.05:
             add("text", "Maks poeng:")
+        # glued next-task heading, late in this task's text (G7 trigger);
+        # mid-span so it is never a G2 marker candidate
+        if t == g7_at:
+            add("text", "Resten av teksten nedenfor hører til neste del. "
+                f"Oppgave {n + 1} Beregn størrelsen som er beskrevet i "
+                "figuren og begrunn svaret ditt grundig.")
         add("text", f"Maks poeng: {POINTS_POOL[int(rng.integers(len(POINTS_POOL)))]}")
 
     # --- trailing admin pseudo-task (exercises tail-drop) -------------------
@@ -245,6 +267,10 @@ def expected_extractions(spark, n_docs: int, seed: int = 42,
                         "exam_version": out.exam_version,
                         "task_number": task.task_number,
                         "points": task.points,
+                        "topic": task.topic,
+                        "task_text": task.task_text,
+                        "task_text_html": task.task_text_html,
+                        "was_merged": task.was_merged,
                         "spans": [
                             {"kind": s.kind, "text": s.text,
                              "media_ref": s.media_ref, "offset": s.offset}

@@ -185,6 +185,151 @@ docfields AS (
 )"""
 
 
+def sql_g7_mpos(col: str) -> str:
+    """G7 late-heading char position (pyref.g7_match_pos) without
+    regexp_instr: the length of the first piece of a regex split is the
+    0-based match position within the tail."""
+    pat = _q(C.G7_TASK_HEAD_RE)
+    tail = f"substr({col}, {C.G7_HEAD_SKIP + 1})"
+    split = f"regexp_split_to_array({tail}, {pat})"
+    return (
+        f"CASE WHEN len({split}) > 1 "
+        f"THEN {C.G7_HEAD_SKIP} + length({split}[1]) ELSE 0 END"
+    )
+
+
+def sql_topic(col: str) -> str:
+    """P11 keyword-lexicon argmax (pyref.classify_topic), score-encoded."""
+    n = len(C.TOPIC_LEXICON)
+    scores = []
+    for i, (_, kws) in enumerate(C.TOPIC_LEXICON):
+        pat = _q("(" + "|".join(kws) + ")")
+        scores.append(
+            f"len(regexp_extract_all(lower({col}), {pat})) * {C.TOPIC_SCORE_BASE} + {n - i}"
+        )
+    best = "greatest(" + ", ".join(scores) + ")"
+    whens = "".join(
+        f" WHEN {n - i} THEN '{topic}'"
+        for i, (topic, _) in enumerate(C.TOPIC_LEXICON)
+    )
+    return (
+        f"CASE WHEN {best} < {C.TOPIC_SCORE_BASE} THEN '{C.UNKNOWN_TOPIC}' "
+        f"ELSE CASE ({best} % {C.TOPIC_SCORE_BASE}){whens} "
+        f"ELSE '{C.UNKNOWN_TOPIC}' END END"
+    )
+
+
+def sql_html_paragraph(col: str) -> str:
+    """P13 paragraph chain (pyref.html_paragraph)."""
+    t = f"regexp_replace({col}, {_q(C.HTML_POINTS_STRIP_RE)}, ' ', 'g')"
+    t = f"regexp_replace({t}, {_q(C.HTML_FIGURE_RE)}, '\\1{C.HTML_FIGURE_SUB}', 'g')"
+    return sql_squeeze(t)
+
+
+def _recursive(sql: str) -> str:
+    """Promote the statement's WITH to WITH RECURSIVE (sql_text_ctes adds a
+    recursive walk CTE; DuckDB requires the keyword on the clause head)."""
+    assert sql.lstrip().startswith("WITH ")
+    return sql.replace("WITH ", "WITH RECURSIVE ", 1)
+
+
+def sql_text_ctes() -> str:
+    """G7 fold + per-task text-level rows, appended after sql_pipeline_ctes.
+
+    The fold is a recursive walk over 1-based task positions: step p
+    processes position p+1 and conditionally splits the accumulator at
+    ``mpos[p]``.  Triggers read the ORIGINAL texts
+    (old/taskseparation.py:33-53); splits apply to the walk state —
+    identical to pyref.g7_merge.  (A ``list_reduce`` formulation hits a
+    DuckDB 1.0 cross-row vector bug — 'Invalid unicode ... value
+    construction' — on full-table runs; the recursive CTE is equivalent and
+    stable.)  Callers must promote the statement head to WITH RECURSIVE via
+    ``_recursive``.
+    """
+    mpos = sql_g7_mpos("task_text")
+    m = C.G7_MIN_VALID_CHARS
+    return f""",
+tlists AS (
+  SELECT doc_id,
+    list(task_number ORDER BY CAST(task_number AS INT)) AS tns,
+    list(task_text ORDER BY CAST(task_number AS INT)) AS orig,
+    list({mpos} ORDER BY CAST(task_number AS INT)) AS mpos,
+    list(points ORDER BY CAST(task_number AS INT)) AS pts
+  FROM surviving GROUP BY doc_id
+),
+walk AS (
+  SELECT doc_id, 1 AS p, orig AS acc FROM tlists
+  UNION ALL
+  SELECT w.doc_id, w.p + 1,
+    CASE WHEN w.p + 1 <= len(t.orig)
+          AND length(t.orig[w.p + 1]) < {m} AND t.mpos[w.p] <> 0
+         THEN list_transform(w.acc, (e, i) -> CASE
+                WHEN i = w.p THEN
+                  substr(w.acc[w.p], 1, t.mpos[w.p]) || w.acc[w.p + 1]
+                WHEN i = w.p + 1 THEN substr(w.acc[w.p], t.mpos[w.p] + 1)
+                ELSE e END)
+         ELSE w.acc END
+  FROM walk w JOIN tlists t USING (doc_id) WHERE w.p < len(t.orig)
+),
+folded AS (
+  SELECT t.doc_id, t.tns, t.orig, t.mpos, t.pts, w.acc AS merged
+  FROM tlists t JOIN walk w ON w.doc_id = t.doc_id AND w.p = len(t.orig)
+),
+texttasks AS (
+  SELECT doc_id, tns[i] AS task_number, merged[i] AS merged_raw,
+         pts[i] AS points,
+         ((i >= 2 AND length(orig[i]) < {m} AND mpos[i-1] <> 0)
+          OR (i < len(orig) AND length(orig[i+1]) < {m} AND mpos[i] <> 0))
+           AS was_merged
+  FROM folded, LATERAL UNNEST(generate_series(1, len(tns))) AS u(i)
+)"""
+
+
+def sql_g7_repair(docs_rel: str, raw: bool = False) -> str:
+    """(doc_id, task_number, task_text, was_merged); ``raw`` skips the final
+    strip/normalize chain (the applyInPandas twin emits raw merged text)."""
+    text = "merged_raw" if raw else sql_normalize_math(
+        sql_strip_admin(sql_strip_label("merged_raw"))
+    )
+    return _recursive(f"""{sql_pipeline_ctes(docs_rel)}{sql_text_ctes()}
+SELECT doc_id, task_number, {text} AS task_text, was_merged FROM texttasks""")
+
+
+def sql_topic_assign(docs_rel: str) -> str:
+    chain = sql_normalize_math(sql_strip_admin(sql_strip_label("merged_raw")))
+    return _recursive(f"""{sql_pipeline_ctes(docs_rel)}{sql_text_ctes()},
+final AS (SELECT doc_id, task_number, {chain} AS task_text FROM texttasks)
+SELECT doc_id, task_number, {sql_topic('task_text')} AS topic FROM final""")
+
+
+def sql_format_html(docs_rel: str) -> str:
+    """P13: <p> per non-empty output text span + points trailer."""
+    return f"""{sql_pipeline_ctes(docs_rel)},
+outspans AS (
+  SELECT k.doc_id, s.task_number, s.points, k.off,
+    {sql_normalize_math(sql_strip_admin("CASE WHEN k.is_marker THEN " + sql_strip_label("k.text") + " ELSE k.text END"))} AS text
+  FROM kept k
+  JOIN surviving s ON k.doc_id = s.doc_id AND k.task_seq = s.task_seq
+  WHERE k.kind = 'text'
+),
+paras AS (
+  SELECT doc_id, task_number, off, {sql_html_paragraph('text')} AS para
+  FROM outspans WHERE text <> ''
+),
+bodies AS (
+  SELECT doc_id, task_number,
+    string_agg('<p>' || para || '</p>', chr(10) ORDER BY off) AS body
+  FROM paras WHERE para <> '' GROUP BY doc_id, task_number
+)
+SELECT s.doc_id, s.task_number,
+  CASE WHEN b.body IS NULL THEN '<p>Maks poeng: ' || CAST(s.points AS VARCHAR) || '</p>'
+       ELSE b.body || chr(10) || chr(10) ||
+            '<p>Maks poeng: ' || CAST(s.points AS VARCHAR) || '</p>' END
+    AS task_text_html
+FROM surviving s
+LEFT JOIN bodies b ON b.doc_id = s.doc_id AND b.task_number = s.task_number"""
+
+
 def sql_extract_tasks(docs_rel: str) -> str:
     """Task-level extraction: one row per (doc_id, task_number)."""
     return f"""{sql_pipeline_ctes(docs_rel)}

@@ -97,6 +97,8 @@ class IcebergStore:
             f"""CREATE TABLE IF NOT EXISTS {full} (
                   doc_id string, subject string, exam_version string,
                   task_number string, points int,
+                  topic string, task_text string, task_text_html string,
+                  was_merged boolean,
                   spans array<struct<kind:string,text:string,media_ref:string,offset:int>>)
                 USING iceberg PARTITIONED BY (bucket({self.buckets}, doc_id))"""
         )

@@ -25,11 +25,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-MIN_VALID_CHARS = 100  # old/taskseparation.py:38
-HEAD_SKIP = 25         # old/taskseparation.py:50 "start reading after 25 chars"
-TASK_HEAD_RE = re.compile(
-    r"(oppgave\s*\d+|oppgåve\s*\d+|\d+\s*\(\s*[A-Z]\s*\))", re.IGNORECASE
-)
+from . import config as C
+
+MIN_VALID_CHARS = C.G7_MIN_VALID_CHARS
+HEAD_SKIP = C.G7_HEAD_SKIP
+TASK_HEAD_RE = re.compile(C.G7_TASK_HEAD_RE)
 
 MERGED_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType(), False),

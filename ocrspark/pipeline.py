@@ -13,8 +13,9 @@ from .segment import segment
 from .stage1 import stage1
 
 
-def extract(docs: DataFrame, arrow: bool = False) -> DataFrame:
+def extract(docs: DataFrame, arrow: bool = False, merge: bool = True) -> DataFrame:
     """docs(doc_id, spans) -> extractions(doc_id, subject, exam_version,
-    task_number, points, spans)."""
+    task_number, points, topic, task_text, task_text_html, was_merged,
+    spans).  ``merge`` toggles the G7 short-task repair (default on)."""
     flat = stage1(docs, arrow=arrow)
-    return assemble(segment(flat))
+    return assemble(segment(flat, merge=merge))

@@ -35,6 +35,11 @@ _SUBJECT = re.compile(C.SUBJECT_CODE_RE)
 _SEASON = re.compile(C.SEASON_RE)
 _EXERCISE = re.compile(C.EXERCISE_RE)
 _WS = re.compile(r"\s+")
+_TASK_HEAD = re.compile(C.G7_TASK_HEAD_RE)
+_HTML_POINTS = re.compile(C.HTML_POINTS_STRIP_RE)
+_HTML_FIGURE = re.compile(C.HTML_FIGURE_RE)
+_TOPIC_RES = [(topic, re.compile("(" + "|".join(kws) + ")"))
+              for topic, kws in C.TOPIC_LEXICON]
 
 
 @dataclass
@@ -50,6 +55,10 @@ class TaskOut:
     task_number: str
     points: int
     spans: list[Span] = field(default_factory=list)
+    task_text: str = ""          # post-G7 plain text (strip+normalize chain)
+    topic: str = C.UNKNOWN_TOPIC
+    task_text_html: str = ""     # P13 templated HTML
+    was_merged: bool = False     # G7 touched this task's text
 
 
 @dataclass
@@ -160,6 +169,67 @@ def extract_version(doc_text: str) -> str:
     return "UNKNOWN"
 
 
+def g7_match_pos(text: str) -> int:
+    """G7 late task-heading position (old/taskseparation.py:44-53): char
+    index of the first heading match at or after G7_HEAD_SKIP, else 0."""
+    m = _TASK_HEAD.search(text[C.G7_HEAD_SKIP:])
+    return m.start() + C.G7_HEAD_SKIP if m else 0
+
+
+def g7_merge(texts: list[str]) -> tuple[list[str], list[bool]]:
+    """G7 forward-merge walk (old/taskseparation.py:56-66).
+
+    Validity and match positions are taken from the ORIGINAL texts (the
+    reference computes both up front, :33-53); the splits apply to the
+    current walk state.  Returns (repaired texts, was_merged flags).
+    """
+    orig = list(texts)
+    mpos = [g7_match_pos(t) for t in orig]
+    trig = [False] * len(orig)
+    for j in range(1, len(orig)):
+        trig[j] = len(orig[j]) < C.G7_MIN_VALID_CHARS and mpos[j - 1] != 0
+    cur = list(orig)
+    for j in range(1, len(cur)):
+        if trig[j]:
+            split = mpos[j - 1]
+            head = cur[j - 1]
+            cur[j - 1] = head[:split] + cur[j]
+            cur[j] = head[split:]
+    flags = [trig[i] or (i + 1 < len(trig) and trig[i + 1])
+             for i in range(len(trig))]
+    return cur, flags
+
+
+def classify_topic(task_text: str) -> str:
+    """P11 rule replacement: argmax keyword-hit topic over lowercase text;
+    score encoding = hits * TOPIC_SCORE_BASE + reverse lexicon rank."""
+    lt = task_text.lower()
+    n = len(_TOPIC_RES)
+    best_score, best_topic = 0, C.UNKNOWN_TOPIC
+    for i, (topic, rx) in enumerate(_TOPIC_RES):
+        score = len(rx.findall(lt)) * C.TOPIC_SCORE_BASE + (n - i)
+        if score > best_score:
+            best_score, best_topic = score, topic
+    return best_topic if best_score >= C.TOPIC_SCORE_BASE else C.UNKNOWN_TOPIC
+
+
+def html_paragraph(text: str) -> str:
+    """P13 paragraph chain: strip inline 'Maks poeng', figure-below ->
+    figure-above rewrite, squeeze."""
+    t = _HTML_POINTS.sub(" ", text)
+    t = _HTML_FIGURE.sub(lambda m: m.group(1) + C.HTML_FIGURE_SUB, t)
+    return _WS.sub(" ", t).strip()
+
+
+def format_html(span_texts: list[str], points: int) -> str:
+    """P13 template: <p> per non-empty paragraph + 'Maks poeng: X' trailer."""
+    paras = [p for p in (html_paragraph(t) for t in span_texts) if p]
+    trailer = f"<p>Maks poeng: {points}</p>"
+    if not paras:
+        return trailer
+    return "\n".join(f"<p>{p}</p>" for p in paras) + "\n\n" + trailer
+
+
 # ------------------------------------------------------- full pipeline -----
 
 def extract_doc(doc_id: str, spans: list[tuple[str, str, str, int]]) -> DocOut:
@@ -226,8 +296,15 @@ def extract_doc(doc_id: str, spans: list[tuple[str, str, str, int]]) -> DocOut:
     numbered = {t: str(i + 1) for i, t in enumerate(window)}
     survivors = [t for t in window if raw_len[t] >= C.MIN_TASK_TEXT_CHARS]
 
+    # G7 forward-merge over the surviving tasks' ORIGINAL raw texts, in
+    # task-number order (legacy old/taskseparation.py flow; spans are the
+    # span-level truth and are never re-split — the reference's
+    # taskvalidation likewise swaps text strings without touching the
+    # container task_map).
+    merged_texts, merged_flags = g7_merge([concat_text(by_task[t]) for t in survivors])
+
     tasks: list[TaskOut] = []
-    for t in survivors:
+    for pos, t in enumerate(survivors):
         idx = by_task[t]
         points = extract_points(concat_text(idx))
         out_spans: list[Span] = []
@@ -243,7 +320,16 @@ def extract_doc(doc_id: str, spans: list[tuple[str, str, str, int]]) -> DocOut:
                 if s.kind == C.TEXT_KIND and not text:
                     continue  # empty after stripping -> dropped
                 out_spans.append(Span(s.kind, text, s.media_ref, len(out_spans)))
-        tasks.append(TaskOut(numbered[t], points, out_spans))
+        # text-level outputs: plain task_text from the post-G7 raw text
+        # (P8 identity -> P12 strip -> T1-T5 normalize); topic from it (P11);
+        # HTML from the output text spans (P13, live-flow paragraphing).
+        task_text = normalize_math(strip_admin(strip_label(merged_texts[pos])))
+        topic = classify_topic(task_text)
+        html = format_html(
+            [s.text for s in out_spans if s.kind == C.TEXT_KIND], points
+        )
+        tasks.append(TaskOut(numbered[t], points, out_spans, task_text,
+                             topic, html, merged_flags[pos]))
 
     return DocOut(doc_id, _doc_subject(rows), _doc_version(rows), tasks)
 

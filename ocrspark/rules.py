@@ -99,6 +99,74 @@ def normalize_math(col: Column) -> Column:
     return squeeze_ws(c)
 
 
+# ----------------------------------------------------------- G7 merge -----
+
+
+def g7_match_pos(text: Column) -> Column:
+    """G7 late task-heading char position, 0 if none (pyref.g7_match_pos).
+
+    ``regexp_instr`` returns the 1-based match position within the tail that
+    starts after G7_HEAD_SKIP chars; the reference's value is the 0-based
+    position within the full text (old/taskseparation.py:50-53).
+    """
+    tail = text.substr(F.lit(C.G7_HEAD_SKIP + 1), F.length(text))
+    pos = F.regexp_instr(tail, F.lit(C.G7_TASK_HEAD_RE))
+    return F.when(pos > 0, pos + (C.G7_HEAD_SKIP - 1)).otherwise(F.lit(0))
+
+
+# ------------------------------------------------------ topic classifier --
+
+
+def topic_keyword_pattern(keywords: list[str]) -> str:
+    return "(" + "|".join(keywords) + ")"
+
+
+def classify_topic(task_text: Column) -> Column:
+    """P11 rule replacement (pyref.classify_topic): argmax keyword hits over
+    the lexicon; score = hits * TOPIC_SCORE_BASE + reverse rank, decoded back
+    to the topic name.  Pure native expressions (one regexp_count pass per
+    lexicon topic), no join, no shuffle."""
+    lt = F.lower(task_text)
+    n = len(C.TOPIC_LEXICON)
+    scores = [
+        F.regexp_count(lt, F.lit(topic_keyword_pattern(kws)))
+        * F.lit(C.TOPIC_SCORE_BASE) + F.lit(n - i)
+        for i, (_, kws) in enumerate(C.TOPIC_LEXICON)
+    ]
+    best = F.greatest(*scores)
+    rank = best % C.TOPIC_SCORE_BASE
+    expr = F.when(best < C.TOPIC_SCORE_BASE, F.lit(C.UNKNOWN_TOPIC))
+    for i, (topic, _) in enumerate(C.TOPIC_LEXICON):
+        expr = expr.when(rank == F.lit(n - i), F.lit(topic))
+    return expr.otherwise(F.lit(C.UNKNOWN_TOPIC))
+
+
+# --------------------------------------------------------- P13 HTML -------
+
+
+def html_paragraph(text: Column) -> Column:
+    """P13 paragraph chain (pyref.html_paragraph)."""
+    t = F.regexp_replace(text, C.HTML_POINTS_STRIP_RE, " ")
+    t = F.regexp_replace(t, C.HTML_FIGURE_RE, "$1" + C.HTML_FIGURE_SUB)
+    return squeeze_ws(t)
+
+
+def format_html(span_texts: Column, points: Column) -> Column:
+    """P13 template over an array of paragraph source texts
+    (pyref.format_html): <p> per non-empty paragraph + points trailer."""
+    paras = F.filter(F.transform(span_texts, html_paragraph), lambda p: p != "")
+    trailer = F.concat(
+        F.lit("<p>Maks poeng: "), points.cast("string"), F.lit("</p>")
+    )
+    body = F.array_join(
+        F.transform(paras, lambda p: F.concat(F.lit("<p>"), p, F.lit("</p>"))),
+        "\n",
+    )
+    return F.when(F.size(paras) == 0, trailer).otherwise(
+        F.concat(body, F.lit("\n\n"), trailer)
+    )
+
+
 # ------------------------------------------------------- doc-level rules --
 
 

@@ -33,6 +33,10 @@ EXTRACTIONS_SCHEMA = T.StructType([
     T.StructField("exam_version", T.StringType(), True),
     T.StructField("task_number", T.StringType(), False),
     T.StructField("points", T.IntegerType(), True),
+    T.StructField("topic", T.StringType(), True),           # P11 classifier
+    T.StructField("task_text", T.StringType(), True),       # post-G7 plain text
+    T.StructField("task_text_html", T.StringType(), True),  # P13 template
+    T.StructField("was_merged", T.BooleanType(), True),     # G7 touched text
     T.StructField("spans", T.ArrayType(SPAN_STRUCT, False), False),
 ])
 

@@ -119,8 +119,66 @@ def nest_per_doc(tasks: DataFrame) -> DataFrame:
     )
 
 
-def select_tasks(nested: DataFrame) -> DataFrame:
-    """F6/F7 admin window + renumbering + F4, as array expressions."""
+def _empty_int_array() -> Column:
+    return F.array().cast("array<int>")
+
+
+def g7_merged_texts(orig: Column) -> Column:
+    """G7 forward-merge as a pure catalyst fold (pyref.g7_merge).
+
+    ``orig``: array<string> of the surviving tasks' original raw texts in
+    task-number order.  Triggers (validity + late-heading position) are pure
+    functions of the ORIGINAL texts (old/taskseparation.py:33-53 computes
+    both up front); only the text splits walk sequentially, so the whole
+    repair is one ``aggregate`` over indices — no UDF, no extra exchange.
+    (The sanctioned ``applyInPandas`` twin lives in ocrspark.merge and is
+    differentially tested against this fold.)
+
+    NB: ``sequence(a, b)`` descends when a > b, so empty/singleton arrays are
+    guarded explicitly.
+    """
+    mpos = F.transform(orig, rules.g7_match_pos)
+    n = F.size(orig)
+    seq = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(_empty_int_array())
+
+    def step(acc: Column, j: Column) -> Column:
+        trig = (
+            F.length(F.get(orig, j)) < C.G7_MIN_VALID_CHARS
+        ) & (F.get(mpos, j - 1) != 0)
+        head = F.get(acc, j - 1)
+        split = F.get(mpos, j - 1)
+        updated = F.transform(
+            acc,
+            lambda e, i: F.when(
+                i == j - 1, F.concat(head.substr(F.lit(1), split), F.get(acc, j))
+            )
+            .when(i == j, head.substr(split + 1, F.length(head)))
+            .otherwise(e),
+        )
+        return F.when(trig, updated).otherwise(acc)
+
+    return F.aggregate(seq, orig, step)
+
+
+def g7_merged_flags(orig: Column) -> Column:
+    """was_merged flags: task i touched iff trigger(i) or trigger(i+1)."""
+    mpos = F.transform(orig, rules.g7_match_pos)
+    n = F.size(orig)
+
+    def trig_at(j: Column) -> Column:
+        return F.coalesce(
+            (j >= 1)
+            & (F.length(F.get(orig, j)) < C.G7_MIN_VALID_CHARS)
+            & (F.get(mpos, j - 1) != 0),
+            F.lit(False),
+        )
+
+    idxs = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(_empty_int_array())
+    return F.transform(idxs, lambda i: trig_at(i) | trig_at(i + 1))
+
+
+def select_tasks(nested: DataFrame, merge: bool = True) -> DataFrame:
+    """F6/F7 admin window + renumbering + F4 + G7 merge, as array expressions."""
     def _seq_of(valid: Column) -> Column:
         return F.transform(valid, lambda x: x["task_seq"])
 
@@ -143,15 +201,33 @@ def select_tasks(nested: DataFrame) -> DataFrame:
             (i + 1).cast("string").alias("task_number"),
             x["points"].alias("points"),
             x["raw_len"].alias("raw_len"),
+            x["task_text"].alias("task_text"),
             x["sp"].alias("sp"),
         ),
     )
     surviving = F.filter(numbered, lambda x: x["raw_len"] >= C.MIN_TASK_TEXT_CHARS)
-    return df.withColumn("tasks", surviving).select(
+    df = df.withColumn("tasks0", surviving)
+    orig = F.transform(F.col("tasks0"), lambda x: x["task_text"])
+    if merge:
+        merged, flags = g7_merged_texts(orig), g7_merged_flags(orig)
+    else:
+        merged, flags = orig, F.transform(orig, lambda _: F.lit(False))
+    tasks = F.zip_with(
+        F.col("tasks0"),
+        F.arrays_zip(merged.alias("mt"), flags.alias("fl")),
+        lambda x, m: F.struct(
+            x["task_number"].alias("task_number"),
+            x["points"].alias("points"),
+            m["mt"].alias("task_text_raw"),
+            m["fl"].alias("was_merged"),
+            x["sp"].alias("sp"),
+        ),
+    )
+    return df.withColumn("tasks", tasks).select(
         "doc_id", "subject", "exam_version", "tasks"
     )
 
 
-def segment(flat: DataFrame) -> DataFrame:
+def segment(flat: DataFrame, merge: bool = True) -> DataFrame:
     """flat spans -> one row per doc with surviving numbered task array."""
-    return select_tasks(nest_per_doc(aggregate_tasks(sessionize(flat))))
+    return select_tasks(nest_per_doc(aggregate_tasks(sessionize(flat))), merge=merge)

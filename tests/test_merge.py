@@ -1,6 +1,12 @@
 """G7 short-task forward-merge (old/taskseparation.py:29-66 semantics)."""
 
+from pyspark.sql import functions as F
+
+from ocrspark import pyref
+from ocrspark.corpus import generate_docs
 from ocrspark.merge import merge_short_tasks
+from ocrspark.segment import segment
+from ocrspark.stage1 import stage1
 
 
 def test_merge_short_tasks(spark):
@@ -26,6 +32,47 @@ def test_merge_short_tasks(spark):
     assert not out[("d1", "3")].was_merged
     assert out[("d2", "1")].task_text == "a" * 150
     assert not out[("d2", "1")].was_merged
+
+
+def test_fold_equals_apply_in_pandas(spark):
+    """Three-way agreement: the in-pipeline catalyst fold (segment merge=True),
+    the sanctioned applyInPandas stage, and pyref.g7_merge all produce the
+    same repaired raw texts on a corpus with glued-boundary docs."""
+    docs = generate_docs(spark, 60, seed=21)
+    seg_raw = segment(stage1(docs), merge=False)
+    tasks = seg_raw.select("doc_id", F.explode("tasks").alias("t")).select(
+        "doc_id",
+        F.col("t.task_number").alias("task_number"),
+        F.col("t.task_text_raw").alias("task_text"),
+    )
+    arrow = {(r.doc_id, r.task_number): (r.task_text, r.was_merged)
+             for r in merge_short_tasks(tasks).collect()}
+
+    seg_fold = segment(stage1(docs), merge=True)
+    fold_rows = seg_fold.select("doc_id", F.explode("tasks").alias("t")).select(
+        "doc_id",
+        F.col("t.task_number").alias("task_number"),
+        F.col("t.task_text_raw").alias("task_text"),
+        F.col("t.was_merged").alias("was_merged"),
+    ).collect()
+    assert len(fold_rows) == len(arrow) > 0
+    assert any(r.was_merged for r in fold_rows)  # corpus exercises G7
+    for r in fold_rows:
+        assert arrow[(r.doc_id, r.task_number)] == (r.task_text, r.was_merged)
+
+    # pyref twin on the raw text lists
+    by_doc: dict[str, list] = {}
+    for r in fold_rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    base = {(r.doc_id, r.task_number): r.task_text
+            for r in tasks.collect()}
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: int(r.task_number))
+        merged, flags = pyref.g7_merge(
+            [base[(doc_id, r.task_number)] for r in rows]
+        )
+        assert [r.task_text for r in rows] == merged
+        assert [r.was_merged for r in rows] == flags
 
 
 def test_merge_order_is_numeric(spark):
