@@ -431,6 +431,10 @@ sig AS (SELECT doc_id, {mins} FROM shh GROUP BY doc_id),
 bands AS (
   SELECT doc_id, u.b[1]::INT AS band_id, u.b[2]::BIGINT AS band_key
   FROM sig, LATERAL UNNEST([{bands.replace('(', '[').replace(')', ']')}]) AS u(b)
+),
+capped AS (
+  SELECT * FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band_id, band_key) <= {dedup.MAX_BUCKET}
 )"""
 
 
@@ -442,7 +446,7 @@ def _sql_minhash_pairs() -> str:
     return f"""{_sql_minhash_core()},
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-  FROM bands a JOIN bands b USING (band_id, band_key)
+  FROM capped a JOIN capped b USING (band_id, band_key)
   WHERE a.doc_id < b.doc_id
 ),
 inter AS (
@@ -559,6 +563,49 @@ def _planes_expr(n_planes: int) -> str:
     )
 
 
+def _band_key_expr(band: int, planes_per_band: int) -> str:
+    """Band key from planes [band*r, (band+1)*r), bit j = 2^j (twin of
+    similarity.lsh_band_buckets)."""
+    return " + ".join(
+        f"CASE WHEN round(list_sum(list_transform(generate_series(1, 64), "
+        f"i -> embedding[i]::DOUBLE * ((((i-1) * 2654435761 + "
+        f"{(band * planes_per_band + j) * 40503 + 7919}) % 2001 - 1000)::DOUBLE))), 6) >= 0 "
+        f"THEN CAST({2**j} AS BIGINT) ELSE 0 END"
+        for j in range(planes_per_band)
+    )
+
+
+def _sql_embedding_near_dups(threshold_e9: int) -> str:
+    """Banded-LSH candidates -> exact cosine verify (twin of
+    similarity.embedding_near_dups default path)."""
+    # band keys as plain columns first: DuckDB 1.0 cannot bind a correlated
+    # column inside a lambda under LATERAL UNNEST
+    keys = ", ".join(
+        f"{_band_key_expr(b, similarity.PLANES_PER_BAND)} AS k{b}"
+        for b in range(similarity.N_BANDS)
+    )
+    bands = ", ".join(f"[{b}, k{b}]" for b in range(similarity.N_BANDS))
+    dot = "list_sum(list_transform(generate_series(1, 64), i -> qe[i]::DOUBLE * ce[i]::DOUBLE))"
+    nq = "sqrt(list_sum(list_transform(generate_series(1, 64), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))"
+    nc = "sqrt(list_sum(list_transform(generate_series(1, 64), i -> ce[i]::DOUBLE * ce[i]::DOUBLE)))"
+    return f"""
+WITH keys AS (
+  SELECT vec_id, embedding, {keys} FROM embeddings
+),
+bands AS (
+  SELECT vec_id, embedding, u.b[1]::INT AS band_id, u.b[2]::BIGINT AS band_key
+  FROM keys, LATERAL UNNEST([{bands}]) AS u(b)
+),
+p AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+    CAST(round(round({dot.replace('qe', 'a.embedding').replace('ce', 'b.embedding')} /
+      ({nq.replace('qe', 'a.embedding')} * {nc.replace('ce', 'b.embedding')}), 9) * 1e9) AS BIGINT) AS sim_e9
+  FROM bands a JOIN bands b USING (band_id, band_key)
+  WHERE a.vec_id < b.vec_id
+)
+SELECT DISTINCT id1, id2, sim_e9 FROM p WHERE sim_e9 >= {threshold_e9}"""
+
+
 def _sql_lsh_buckets() -> str:
     return f"SELECT vec_id, {_planes_expr(similarity.N_PLANES)} AS bucket FROM embeddings"
 
@@ -633,16 +680,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _sql_cosine_topk(),
         "ann_lsh_buckets": _sql_lsh_buckets(),
         "ann_lsh_search": _sql_lsh_search(),
-        "dedup_embedding_cosine": (
-            "WITH a AS (SELECT vec_id AS id1, embedding AS qe FROM embeddings),\n"
-            "b AS (SELECT vec_id AS id2, embedding AS ce FROM embeddings),\n"
-            "p AS (SELECT id1, id2, CAST(round(round("
-            "list_sum(list_transform(generate_series(1, 64), i -> qe[i]::DOUBLE * ce[i]::DOUBLE)) / "
-            "(sqrt(list_sum(list_transform(generate_series(1, 64), i -> qe[i]::DOUBLE * qe[i]::DOUBLE))) * "
-            "sqrt(list_sum(list_transform(generate_series(1, 64), i -> ce[i]::DOUBLE * ce[i]::DOUBLE))))"
-            ", 9) * 1e9) AS BIGINT) AS sim_e9 FROM a JOIN b ON id1 < id2)\n"
-            "SELECT id1, id2, sim_e9 FROM p WHERE sim_e9 >= 400000000"
-        ),
+        "dedup_embedding_cosine": _sql_embedding_near_dups(400_000_000),
         "w2_sessionize_events": _sql_sessionize_events(),
         "w1_windowed_event_counts": (
             "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H')"

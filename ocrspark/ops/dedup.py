@@ -77,15 +77,45 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
-    """Self-join within (band_id, band_key) buckets; doc1 < doc2, distinct."""
-    a = signatures.alias("a")
-    b = signatures.alias("b")
+MAX_BUCKET = 256
+
+
+def lsh_candidate_pairs(signatures: DataFrame,
+                        max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Self-join within (band_id, band_key) buckets; doc1 < doc2, distinct.
+
+    Hot-bucket cap: a band key shared by a boilerplate-heavy cluster (common
+    in web corpora) makes the within-bucket self-join quadratic — one
+    million-doc bucket is O(10^12) pairs.  Buckets larger than ``max_bucket``
+    are EXCLUDED from the pair join (the cap is explicit, not silent: use
+    ``oversized_buckets`` to route them to exact-group handling, which is
+    what a boilerplate cluster actually needs).  The count window shuffles on
+    the same key as the join, so AQE coalesces it into the join exchange.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_id", "band_key")
+    sized = signatures.withColumn("bsz", F.count(F.lit(1)).over(w))
+    kept = sized.filter(F.col("bsz") <= max_bucket).drop("bsz")
+    a = kept.alias("a")
+    b = kept.alias("b")
     return (
         a.join(b, ["band_id", "band_key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
+    )
+
+
+def oversized_buckets(signatures: DataFrame,
+                      max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Band buckets excluded by the hot-bucket cap (observability + routing:
+    members of these buckets are near-identical boilerplate at real corpus
+    scale — handle via ``exact_groups`` instead of pairwise comparison)."""
+    return (
+        signatures.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
     )
 
 

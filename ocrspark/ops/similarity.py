@@ -98,21 +98,85 @@ def lsh_search(emb: DataFrame, k: int = 5, query_mod: int = 25,
     )
 
 
-def embedding_near_dups(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+N_BANDS = 8
+PLANES_PER_BAND = 4
+
+
+def lsh_band_buckets(emb: DataFrame, n_bands: int = N_BANDS,
+                     planes_per_band: int = PLANES_PER_BAND) -> DataFrame:
+    """Banded hyperplane LSH: (vec_id, band_id, band_key) rows.
+
+    Band b uses planes [b*r, (b+1)*r) from the same deterministic weight
+    family as ``lsh_buckets``; a pair is a candidate if ANY band key matches
+    (the OR-of-ANDs recall curve, same construction as MinHash bands).  With
+    8 bands x 4 planes, recall at cos>=0.8 is ~98%; at cos>=0.4 ~75%.
+    """
+    with_idx = F.zip_with(
+        F.col("embedding"),
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda x, i: F.struct(x.cast("double").alias("x"), i.alias("i")),
+    )
+
+    def _dot_for(p: int):
+        return F.aggregate(
+            with_idx,
+            F.lit(0.0),
+            lambda acc, s: acc + s["x"] * _plane_weight(p, s["i"]).cast("double"),
+        )
+
+    bands = []
+    for b in range(n_bands):
+        key = None
+        for j in range(planes_per_band):
+            dot_p = _dot_for(b * planes_per_band + j)
+            bit = F.when(
+                F.round(dot_p, 6) >= 0, F.lit(2 ** j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            key = bit if key is None else (key + bit)
+        bands.append(F.struct(F.lit(b).alias("band_id"), key.alias("band_key")))
+    return emb.select(
+        "vec_id", F.explode(F.array(*bands)).alias("b")
+    ).select("vec_id", F.col("b.band_id").alias("band_id"),
+             F.col("b.band_key").alias("band_key"))
+
+
+def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
+                        exact: bool = False) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup family, SURVEY-adjacent).
 
-    Exact all-pairs above a cosine threshold; at scale the candidate side
-    would be pre-bucketed by ``lsh_buckets`` — here the exact form doubles as
-    the recall baseline for that path.  Integer (1e9-scaled) similarity for
-    engine-exact comparison.
+    Default is the scale path: banded-LSH candidates (equi-join on
+    (band_id, band_key)) -> exact cosine verify -> threshold filter ->
+    distinct.  Never all-pairs; candidate volume per band is |bucket|^2
+    bounded by the hyperplane split, and verification is one narrow pass.
+
+    ``exact=True`` keeps the all-pairs non-equi form (physically a broadcast
+    nested-loop join) as the RECALL BASELINE — test/measurement only, O(n^2),
+    never the plan to run at corpus scale.  Integer (1e9-scaled) similarity
+    for engine-exact comparison.
     """
-    a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("qe"))
-    b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("ce"))
-    sim = F.round(_dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))), 9)
+    sim = F.round(
+        _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))), 9
+    )
+    if exact:
+        a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("qe"))
+        b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("ce"))
+        return (
+            a.join(b, F.col("id1") < F.col("id2"))
+            .select("id1", "id2", F.round(sim * 1e9).cast("long").alias("sim_e9"))
+            .filter(F.col("sim_e9") >= int(threshold * 1e9))
+        )
+    bands = lsh_band_buckets(emb)
+    e = emb.join(bands, "vec_id")
+    a = e.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("qe"),
+                 "band_id", "band_key")
+    b = e.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("ce"),
+                 "band_id", "band_key")
     return (
-        a.join(b, F.col("id1") < F.col("id2"))
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2", F.round(sim * 1e9).cast("long").alias("sim_e9"))
         .filter(F.col("sim_e9") >= int(threshold * 1e9))
+        .distinct()
     )
 
 

@@ -9,6 +9,8 @@ per-batch Python in the hot path.
 
 import re
 
+from pyspark.sql import functions as F
+
 from ocrspark.corpus import generate_docs
 from ocrspark.pipeline import extract
 
@@ -42,6 +44,50 @@ def test_no_cartesian_or_nested_loop(spark):
     plan = _plan(extract(docs, arrow=False))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scaled_similarity_paths_are_equi_joins(spark):
+    """The dedup/ANN scale paths must never plan a cartesian/nested-loop
+    join: banded-LSH near-dups, bucketed ANN search, and the capped MinHash
+    candidate join are all equi-joins.  (cosine_topk and the exact=True
+    recall baseline are the documented broadcast exceptions.)"""
+    from ocrspark.ops import dedup, similarity
+
+    emb = spark.range(64).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(similarity.DIM)),
+            lambda i: F.sin(i * (F.col("id") + 1)).cast("float"),
+        ).alias("embedding"),
+    )
+    docs = spark.range(40).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.concat(F.lit("some words here number "), F.col("id"),
+                 F.lit(" more filler words to shingle")).alias("text"),
+    )
+    for df in [
+        similarity.embedding_near_dups(emb, threshold=0.4),
+        similarity.lsh_search(emb),
+        dedup.minhash_dedup(docs, threshold=0.2),
+    ]:
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_embedding_near_dups_recall(spark):
+    """Bucketed pairs are a subset of exact pairs, with usable recall at the
+    dedup-relevant threshold."""
+    from ocrspark.ops import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r.id1, r.id2) for r in
+             similarity.embedding_near_dups(emb, 0.4, exact=True).collect()}
+    banded = {(r.id1, r.id2) for r in
+              similarity.embedding_near_dups(emb, 0.4).collect()}
+    assert banded <= exact
+    assert len(exact) > 0
+    assert len(banded) / len(exact) >= 0.5  # OR-of-ANDs recall at cos>=0.4
 
 
 def test_whole_stage_codegen_present(spark):
