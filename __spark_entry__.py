@@ -173,6 +173,33 @@ def _q_topic(spark, sf_dir):
     return extract(_docs(spark)).select("doc_id", "task_number", "topic")
 
 
+ALIAS_TABLE = [("IMAX20Y2", "IMAT2021"), ("IFYX1001", "IFYT1001")]
+
+
+def _q_alias(spark, sf_dir):
+    """J2: broadcast alias-table resolution of detected subject codes."""
+    alias = spark.createDataFrame(
+        ALIAS_TABLE, "alias_code string, canonical string"
+    )
+    out = extract(_docs(spark), alias=alias)
+    return out.groupBy("subject").agg(F.count(F.lit(1)).alias("n_tasks"))
+
+
+def _q_expected(spark, sf_dir):
+    """J6: positional alignment against caller-provided task numbers."""
+    docs = _docs(spark)
+    expected = docs.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(30)),
+            lambda i: F.concat(F.lit("T"), i.cast("string")),
+        ).alias("expected_tasks"),
+    )
+    return extract(docs, expected=expected).select(
+        "doc_id", "task_number", "points"
+    )
+
+
 def _q_html(spark, sf_dir):
     """P13 deterministic HTML templating per task."""
     return extract(_docs(spark)).select(
@@ -340,6 +367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g7_merge_arrow": _q_g7_arrow,
         "p11_topic_assign": _q_topic,
         "p13_format_html": _q_html,
+        "j2_alias_resolution": _q_alias,
+        "j6_expected_alignment": _q_expected,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_minhash_signatures": _q_minhash_sigs,
         "dedup_minhash_pairs": _q_minhash_pairs,
@@ -389,12 +418,17 @@ SELECT doc_id, off AS "offset", {O.sql_strip_admin('text')} AS stripped_text FRO
 def _sql_media_inventory() -> str:
     return f"""{O.sql_pipeline_ctes(_fixture_rel())},
 imgs AS (
-  SELECT k.doc_id, s.task_number, k.media_ref, k.off
+  SELECT k.doc_id, s.task_number, k.media_ref, min(k.off) AS off
   FROM kept k JOIN surviving s ON k.doc_id = s.doc_id AND k.task_seq = s.task_seq
-  WHERE k.kind = 'image')
-SELECT doc_id, task_number, media_ref,
-  CAST(row_number() OVER (PARTITION BY doc_id, task_number ORDER BY off) - 1 AS INT) AS seq
-FROM imgs"""
+  WHERE k.kind = 'image'
+  GROUP BY k.doc_id, s.task_number, k.media_ref),
+ni AS (
+  SELECT i.doc_id, i.task_number, i.media_ref, d.subject, d.exam_version,
+    CAST(row_number() OVER (PARTITION BY i.doc_id, i.task_number ORDER BY i.off) - 1 AS INT) AS seq
+  FROM imgs i JOIN docfields d USING (doc_id))
+SELECT doc_id, task_number, media_ref, seq,
+  printf('%s_%s_%s_%d.png', subject, exam_version, task_number, seq) AS filename
+FROM ni"""
 
 
 _CANON = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
@@ -663,6 +697,19 @@ def oracle_sql() -> dict[str, str]:
         "p12_strip_admin": _sql_strip_admin(),
         "s8_media_inventory": _sql_media_inventory(),
         "g7_merge_repair": O.sql_g7_repair(_fixture_rel()),
+        "j2_alias_resolution": (
+            f"{O.sql_pipeline_ctes(_fixture_rel())}\n"
+            "SELECT CASE upper(trim(d.subject)) "
+            + " ".join(f"WHEN '{a}' THEN '{c}'" for a, c in ALIAS_TABLE)
+            + " ELSE d.subject END AS subject, count(*) AS n_tasks\n"
+            "FROM surviving s JOIN docfields d USING (doc_id) GROUP BY 1"
+        ),
+        "j6_expected_alignment": (
+            f"{O.sql_pipeline_ctes(_fixture_rel())}\n"
+            "SELECT doc_id, CASE WHEN CAST(task_number AS INT) <= 30 "
+            "THEN 'T' || task_number ELSE task_number END AS task_number, "
+            "points FROM surviving"
+        ),
         "g7_merge_arrow": O.sql_g7_repair(_fixture_rel(), raw=True),
         "p11_topic_assign": O.sql_topic_assign(_fixture_rel()),
         "p13_format_html": O.sql_format_html(_fixture_rel()),

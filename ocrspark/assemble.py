@@ -65,7 +65,8 @@ def assemble(segmented: DataFrame) -> DataFrame:
     Whole-stage codegen CSE shares the repeated span-chain subexpressions.
     """
     exploded = segmented.select(
-        "doc_id", "subject", "exam_version", F.explode("tasks").alias("t")
+        "doc_id", "subject", "exam_version", "source_subject_code",
+        F.explode("tasks").alias("t")
     )
     task_text = rules.normalize_math(
         rules.strip_admin(rules.strip_label(F.col("t.task_text_raw")))
@@ -74,6 +75,7 @@ def assemble(segmented: DataFrame) -> DataFrame:
         "doc_id",
         "subject",
         "exam_version",
+        "source_subject_code",
         F.col("t.task_number").alias("task_number"),
         F.col("t.points").alias("points"),
         task_text.alias("task_text"),
@@ -88,6 +90,7 @@ def assemble(segmented: DataFrame) -> DataFrame:
         "doc_id",
         "subject",
         "exam_version",
+        "source_subject_code",
         "task_number",
         "points",
         rules.classify_topic(F.col("task_text")).alias("topic"),

@@ -1,7 +1,7 @@
 """Catalog output shape: the reference's nested JSON contract.
 
-The reference persists `subject -> {alternate_codes, topics, exams ->
-{version -> {source_subject_code, tasks: [...]}}}`
+The reference persists `subject -> {alternate_codes, topics, ignored_topics,
+exams -> {version -> {source_subject_code, tasks: [...]}}}`
 (/root/reference/scripts/object_handling.py:15-29; sample
 /root/reference/exams.json).  This module rebuilds that consumable shape
 from the flat extractions table:
@@ -9,10 +9,17 @@ from the flat extractions table:
 * task ordering inside an exam = numeric-first sort key
   (object_handling.py:241-246 `_sort_key`: first integer, ties by string) —
   W6/W7 in SURVEY.md;
-* task_text = the task's text spans joined (the viewer renders images before
-  the text from media refs, web/OCRacle.html:283-310, so text-only here);
-* alternate_codes = order-preserving dedup of observed source codes minus
-  the canonical one (object_handling.py:88-101 set-merge semantics).
+* task_text = the P13 HTML (the published catalog's task_text IS HTML,
+  exams.json:21); topic = the P11 classifier column;
+* source_subject_code = the exam's pre-merge filing code
+  (object_handling.py:173-188);
+* alternate_codes = sorted distinct observed source codes minus the
+  canonical one (object_handling.py:88-101 set-merge semantics);
+* topics = first-appearance-ordered distinct task topics (P6's mined list,
+  deterministically: what the subject's tasks actually classify to),
+  minus ignored topics (P7 `array_except`, task_processing.py:384-396);
+* ignored_topics = optional per-subject input (S6 manual-override table),
+  broadcast-joined.
 
 All native expressions; one row per (subject, exam_version) with a nested
 tasks array, or `to_json_catalog` for the exact JSON document.
@@ -23,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import config as C
+
 
 def _task_sort_key(task_number):
     num = F.regexp_extract(task_number, "[0-9]+", 0)
@@ -30,14 +39,8 @@ def _task_sort_key(task_number):
 
 
 def exams_catalog(extractions: DataFrame) -> DataFrame:
-    """extractions -> one row per (subject, exam_version) with ordered tasks."""
-    task_text = F.array_join(
-        F.transform(
-            F.filter(F.col("spans"), lambda s: (s["kind"] == "text") & (s["text"] != "")),
-            lambda s: s["text"],
-        ),
-        " ",
-    )
+    """extractions -> one row per (subject, exam_version) with ordered tasks,
+    source_subject_code, and the exam's observed source codes / topics."""
     media_refs = F.transform(
         F.filter(F.col("spans"), lambda s: s["kind"] == "image"),
         lambda s: s["media_ref"],
@@ -45,34 +48,99 @@ def exams_catalog(extractions: DataFrame) -> DataFrame:
     tasks = extractions.select(
         "subject",
         "exam_version",
+        "source_subject_code",
         F.struct(
             _task_sort_key(F.col("task_number")).alias("_k"),
+            F.col("topic").alias("topic"),
             F.col("task_number").alias("task_number"),
             F.col("points").alias("points"),
-            task_text.alias("task_text"),
+            F.col("task_text_html").alias("task_text"),
             media_refs.alias("media_refs"),
         ).alias("t"),
     )
     per_exam = tasks.groupBy("subject", "exam_version").agg(
+        F.min("source_subject_code").alias("source_subject_code"),
         F.transform(
             F.array_sort(F.collect_list("t")),
             lambda t: t.dropFields("_k"),
-        ).alias("tasks")
+        ).alias("tasks"),
     )
-    return per_exam
+    topics = F.array_distinct(
+        F.filter(
+            F.transform(F.col("tasks"), lambda t: t["topic"]),
+            lambda t: t != C.UNKNOWN_TOPIC,
+        )
+    )
+    return per_exam.withColumn("topics", topics)
 
 
-def to_json_catalog(extractions: DataFrame) -> DataFrame:
-    """One JSON document per subject (the exams.json outer shape)."""
-    per_exam = exams_catalog(extractions)
+def subjects_catalog(per_exam: DataFrame,
+                     ignored: DataFrame | None = None) -> DataFrame:
+    """exams_catalog rows -> one row per subject (the exams.json outer
+    value): alternate_codes, topics (minus ignored), ignored_topics, exams.
+
+    ``ignored``: optional small (subject, ignored_topics array<string>)
+    override table (S6), broadcast-joined (J2 pattern).
+    """
     per_subject = per_exam.groupBy("subject").agg(
+        F.array_sort(
+            F.array_remove(
+                F.array_distinct(F.collect_list("source_subject_code")),
+                "",
+            )
+        ).alias("observed_codes"),
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("exam_version", "topics"))
+                    ),
+                    lambda e: e["topics"],
+                )
+            )
+        ).alias("mined_topics"),
         F.map_from_entries(
             F.array_sort(
-                F.collect_list(F.struct(F.col("exam_version"), F.col("tasks")))
+                F.collect_list(
+                    F.struct(
+                        F.col("exam_version"),
+                        F.struct(
+                            F.col("source_subject_code"), F.col("tasks")
+                        ).alias("exam"),
+                    )
+                )
             )
-        ).alias("exams")
+        ).alias("exams"),
     )
+    alternate = F.array_remove(F.col("observed_codes"), F.col("subject"))
+    if ignored is not None:
+        per_subject = per_subject.join(
+            F.broadcast(
+                ignored.select("subject",
+                               F.col("ignored_topics").alias("_ign"))
+            ),
+            "subject",
+            "left",
+        )
+        ign = F.coalesce(F.col("_ign"), F.array().cast("array<string>"))
+    else:
+        ign = F.array().cast("array<string>")
     return per_subject.select(
         "subject",
-        F.to_json(F.struct(F.col("exams"))).alias("catalog_json"),
+        alternate.alias("alternate_codes"),
+        F.array_except(F.col("mined_topics"), ign).alias("topics"),
+        ign.alias("ignored_topics"),
+        "exams",
+    )
+
+
+def to_json_catalog(extractions: DataFrame,
+                    ignored: DataFrame | None = None) -> DataFrame:
+    """One JSON document per subject (the exams.json outer shape)."""
+    per_subject = subjects_catalog(exams_catalog(extractions), ignored)
+    return per_subject.select(
+        "subject",
+        F.to_json(
+            F.struct("alternate_codes", "topics", "ignored_topics", "exams")
+        ).alias("catalog_json"),
     )

@@ -173,7 +173,12 @@ def make_doc(seed: int, index: int, fat_doc_rate: float = 0.0,
             noise = IMAGE_OCR_NOISE[int(rng.integers(len(IMAGE_OCR_NOISE)))]
             if portable:
                 noise = noise.replace("———", "—")
-            add("image", noise, f"{subject}_{version}_{n}_{k}.png")
+            ref = f"{subject}_{version}_{n}_{k}.png"
+            add("image", noise, ref)
+            # duplicate figure: same media_ref appears again (kept in the
+            # span sequence; J5 suppresses it in the media inventory)
+            if rng.random() < 0.15:
+                add("image", noise, ref)
         # body text, math payloads, admin noise
         for _ in range(int(rng.integers(1, 5)) * body_scale):
             body = SENTENCES[int(rng.integers(len(SENTENCES)))]
@@ -265,6 +270,7 @@ def expected_extractions(spark, n_docs: int, seed: int = 42,
                         "doc_id": out.doc_id,
                         "subject": out.subject,
                         "exam_version": out.exam_version,
+                        "source_subject_code": out.source_subject_code,
                         "task_number": task.task_number,
                         "points": task.points,
                         "topic": task.topic,

@@ -96,6 +96,7 @@ class IcebergStore:
         self.spark.sql(
             f"""CREATE TABLE IF NOT EXISTS {full} (
                   doc_id string, subject string, exam_version string,
+                  source_subject_code string,
                   task_number string, points int,
                   topic string, task_text string, task_text_html string,
                   was_merged boolean,

@@ -80,18 +80,34 @@ def extract_media_features(media: DataFrame, decoder=fake_decode) -> DataFrame:
 
 
 def media_inventory(extractions: DataFrame) -> DataFrame:
-    """Per-task media sequence numbering (S8/A5/T13 parity: the reference's
-    {subject}_{version}_{task}_{seq}.png filename contract)."""
+    """Per-task media inventory: J5 duplicate-figure suppression + A5
+    sequence numbering + T13 filename synthesis.
+
+    J5 (scripts/extract_images.py:267-273 — a new figure matching an
+    existing one is skipped): at span level, one inventory row per distinct
+    (doc, task, media_ref), keeping the first occurrence's position.
+    T13 (extract_images.py:265): {subject}_{version}_{task}_{seq}.png.
+    """
     imgs = (
         extractions.select(
-            "doc_id", "task_number", F.explode("spans").alias("s")
+            "doc_id", "subject", "exam_version", "task_number",
+            F.explode("spans").alias("s"),
         )
         .filter(F.col("s.kind") == "image")
-        .select("doc_id", "task_number", F.col("s.media_ref").alias("media_ref"),
+        .select("doc_id", "subject", "exam_version", "task_number",
+                F.col("s.media_ref").alias("media_ref"),
                 F.col("s.offset").alias("off"))
     )
+    firsts = imgs.groupBy(
+        "doc_id", "subject", "exam_version", "task_number", "media_ref"
+    ).agg(F.min("off").alias("off"))
     w = Window.partitionBy("doc_id", "task_number").orderBy("off")
-    return imgs.select(
+    return firsts.select(
         "doc_id", "task_number", "media_ref",
         (F.row_number().over(w) - 1).alias("seq"),
+        F.format_string(
+            "%s_%s_%s_%d.png",
+            F.col("subject"), F.col("exam_version"), F.col("task_number"),
+            F.row_number().over(w) - 1,
+        ).alias("filename"),
     )

@@ -67,6 +67,7 @@ class DocOut:
     subject: str
     exam_version: str
     tasks: list[TaskOut] = field(default_factory=list)
+    source_subject_code: str = "UNKNOWN"  # first observed code, pre-merge
 
 
 # ---------------------------------------------------------------- stage 1 --
@@ -286,7 +287,8 @@ def extract_doc(doc_id: str, spans: list[tuple[str, str, str, int]]) -> DocOut:
     # F6/F7 head/tail admin window (replaces the LLM validity check).
     valid = [t for t in sorted(by_task) if stripped_len[t] >= C.MIN_STRIPPED_TASK_CHARS]
     if not valid:
-        return DocOut(doc_id, _doc_subject(rows), _doc_version(rows), [])
+        return DocOut(doc_id, _doc_subject(rows), _doc_version(rows), [],
+                      _doc_source_code(rows))
     lo, hi = valid[0], valid[-1]
     window = [t for t in sorted(by_task) if lo <= t <= hi]
 
@@ -331,7 +333,8 @@ def extract_doc(doc_id: str, spans: list[tuple[str, str, str, int]]) -> DocOut:
         tasks.append(TaskOut(numbered[t], points, out_spans, task_text,
                              topic, html, merged_flags[pos]))
 
-    return DocOut(doc_id, _doc_subject(rows), _doc_version(rows), tasks)
+    return DocOut(doc_id, _doc_subject(rows), _doc_version(rows), tasks,
+                  _doc_source_code(rows))
 
 
 def _doc_text(rows: list[Span]) -> str:
@@ -340,6 +343,13 @@ def _doc_text(rows: list[Span]) -> str:
 
 def _doc_subject(rows: list[Span]) -> str:
     return merge_subject_codes(_SUBJECT.findall(_doc_text(rows)))
+
+
+def _doc_source_code(rows: list[Span]) -> str:
+    """First observed subject code (the exam's pre-merge filing code,
+    exams.json source_subject_code; scripts/object_handling.py:173-188)."""
+    m = _SUBJECT.search(_doc_text(rows))
+    return m.group(1) if m else "UNKNOWN"
 
 
 def _doc_version(rows: list[Span]) -> str:

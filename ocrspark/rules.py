@@ -217,6 +217,36 @@ def extract_subject(doc_text: Column) -> Column:
     return merge_subject_codes(subject_codes(doc_text))
 
 
+def extract_source_code(doc_text: Column) -> Column:
+    """First observed subject code, pre-merge (exams.json
+    source_subject_code; pyref._doc_source_code)."""
+    first = F.regexp_extract(doc_text, C.SUBJECT_CODE_RE, 1)
+    return F.when(first != "", first).otherwise(F.lit("UNKNOWN"))
+
+
+def parse_subject_codes(raw: Column) -> Column:
+    """T7: manual subject-code multi-split (task_processing.py:201-224):
+    newline/;/| -> comma, split, trim; if one part with spaces, space-split;
+    normalize (upper/trim) and dedupe preserving order."""
+    t = F.regexp_replace(raw, "[\n;|]", ",")
+    parts = F.filter(
+        F.transform(F.split(t, ","), lambda p: F.trim(p)), lambda p: p != ""
+    )
+    single = F.get(parts, 0)
+    space_split = F.filter(
+        F.transform(F.split(single, " "), lambda p: F.trim(p)),
+        lambda p: p != "",
+    )
+    use_space = (F.size(parts) == 1) & single.contains(" ")
+    chosen = F.when(use_space, space_split).otherwise(parts)
+    return F.array_distinct(F.transform(chosen, lambda p: F.upper(p)))
+
+
+def task_label(task_number: Column) -> Column:
+    """T9: zero-padded 2-char task label (task_processing.py:429 zfill)."""
+    return F.lpad(task_number, 2, "0")
+
+
 def extract_version(doc_text: Column) -> Column:
     """P5 + T8 (pyref.extract_version)."""
     season = F.regexp_extract(doc_text, C.SEASON_RE, 1)

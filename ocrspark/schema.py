@@ -31,6 +31,7 @@ EXTRACTIONS_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType(), False),
     T.StructField("subject", T.StringType(), True),
     T.StructField("exam_version", T.StringType(), True),
+    T.StructField("source_subject_code", T.StringType(), True),  # pre-merge
     T.StructField("task_number", T.StringType(), False),
     T.StructField("points", T.IntegerType(), True),
     T.StructField("topic", T.StringType(), True),           # P11 classifier

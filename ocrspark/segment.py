@@ -114,8 +114,10 @@ def nest_per_doc(tasks: DataFrame) -> DataFrame:
         ),
         " ",
     )
-    return nested.withColumn("subject", rules.extract_subject(doc_text)).withColumn(
-        "exam_version", rules.extract_version(doc_text)
+    return (
+        nested.withColumn("subject", rules.extract_subject(doc_text))
+        .withColumn("exam_version", rules.extract_version(doc_text))
+        .withColumn("source_subject_code", rules.extract_source_code(doc_text))
     )
 
 
@@ -177,10 +179,24 @@ def g7_merged_flags(orig: Column) -> Column:
     return F.transform(idxs, lambda i: trig_at(i) | trig_at(i + 1))
 
 
-def select_tasks(nested: DataFrame, merge: bool = True) -> DataFrame:
-    """F6/F7 admin window + renumbering + F4 + G7 merge, as array expressions."""
+def select_tasks(nested: DataFrame, merge: bool = True,
+                 expected: DataFrame | None = None) -> DataFrame:
+    """F6/F7 admin window + renumbering + F4 + G7 merge, as array expressions.
+
+    ``expected``: optional (doc_id, expected_tasks array<string>) broadcast
+    map — J6 positional alignment (task_boundaries.py:280-283: range i takes
+    expected_tasks[i] when provided, else str(i+1))."""
     def _seq_of(valid: Column) -> Column:
         return F.transform(valid, lambda x: x["task_seq"])
+
+    if expected is not None:
+        nested = nested.join(
+            F.broadcast(expected.select("doc_id", "expected_tasks")),
+            "doc_id", "left",
+        )
+        exp_arr = F.col("expected_tasks")
+    else:
+        exp_arr = F.lit(None).cast("array<string>")
 
     valid = F.filter(
         F.col("tarr"),
@@ -198,7 +214,8 @@ def select_tasks(nested: DataFrame, merge: bool = True) -> DataFrame:
     numbered = F.transform(
         windowed,
         lambda x, i: F.struct(
-            (i + 1).cast("string").alias("task_number"),
+            F.coalesce(F.get(exp_arr, i), (i + 1).cast("string"))
+            .alias("task_number"),
             x["points"].alias("points"),
             x["raw_len"].alias("raw_len"),
             x["task_text"].alias("task_text"),
@@ -224,10 +241,12 @@ def select_tasks(nested: DataFrame, merge: bool = True) -> DataFrame:
         ),
     )
     return df.withColumn("tasks", tasks).select(
-        "doc_id", "subject", "exam_version", "tasks"
+        "doc_id", "subject", "exam_version", "source_subject_code", "tasks"
     )
 
 
-def segment(flat: DataFrame, merge: bool = True) -> DataFrame:
+def segment(flat: DataFrame, merge: bool = True,
+            expected: DataFrame | None = None) -> DataFrame:
     """flat spans -> one row per doc with surviving numbered task array."""
-    return select_tasks(nest_per_doc(aggregate_tasks(sessionize(flat))), merge=merge)
+    return select_tasks(nest_per_doc(aggregate_tasks(sessionize(flat))),
+                        merge=merge, expected=expected)

@@ -17,7 +17,8 @@ N_DOCS = 80
 
 def _canon(df):
     return df.select(
-        "doc_id", "subject", "exam_version", "task_number", "points",
+        "doc_id", "subject", "exam_version", "source_subject_code",
+        "task_number", "points",
         "topic", "task_text", "task_text_html", "was_merged",
         F.to_json("spans").alias("spans_json"),
     )
