@@ -42,7 +42,8 @@ def _sf_of(sf_dir: str) -> float:
 
 def _bench_docs(spark, sf: float):
     n = max(2000, int(DOCS_PER_SF * sf))
-    cache = REPO / ".bench_cache" / f"docs_n{n}_s42"
+    # v2: corpus grammar gained G7 glued-boundary and duplicate-figure cases
+    cache = REPO / ".bench_cache" / f"docs_n{n}_s42_v2"
     if not (cache / "_SUCCESS").exists():
         generate_docs(
             spark, n, seed=42, fat_doc_rate=0.001,
@@ -66,14 +67,24 @@ def main() -> None:
     def tbl(name):
         return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
-    sink = F.sum(F.size("spans"))
+    # the agg must touch every output column family, or Catalyst prunes the
+    # topic/html/G7 work out of the timed plan (their cost must be visible)
+    def sink():
+        return [
+            F.sum(F.size("spans")).alias("n_spans"),
+            F.sum(F.length("task_text_html")).alias("html_chars"),
+            F.sum(F.length("task_text")).alias("text_chars"),
+            F.max("topic").alias("a_topic"),
+            F.sum(F.col("was_merged").cast("int")).alias("n_merged"),
+        ]
+
     out_dir = str(REPO / ".bench_cache" / "out")
 
     queries = {
-        "extract": lambda: extract(docs).agg(sink).collect(),
+        "extract": lambda: extract(docs).agg(*sink()).collect(),
         "extract_sink_parquet": lambda: extract(docs)
         .write.mode("overwrite").parquet(out_dir),
-        "extract_arrow_stage1": lambda: extract(docs, arrow=True).agg(sink).collect(),
+        "extract_arrow_stage1": lambda: extract(docs, arrow=True).agg(*sink()).collect(),
         "dedup_minhash": lambda: dedup.minhash_dedup(tbl("documents"), threshold=0.2)
         .count(),
         "dedup_simhash": lambda: dedup.simhash(tbl("documents")).count(),

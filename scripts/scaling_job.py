@@ -49,14 +49,16 @@ def main() -> None:
     cores = spark.sparkContext.defaultParallelism
     spark.conf.set("spark.sql.shuffle.partitions", str(cores * 2))
 
-    cache = REPO / ".bench_cache" / f"docs_n{n_docs}_s42"
+    # v2: corpus grammar gained G7 glued-boundary and duplicate-figure cases
+    cache = REPO / ".bench_cache" / f"docs_n{n_docs}_s42_v2"
     if not (cache / "_SUCCESS").exists():
         generate_docs(spark, n_docs, seed=42, fat_doc_rate=0.001,
                       partitions=128).write.mode("overwrite").parquet(str(cache))
     docs = spark.read.parquet(str(cache))
     # JIT warmup, untimed (a long-lived cluster job amortizes this to zero)
     warm = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(5)) == 0)
-    extract(warm).agg(F.sum(F.size("spans"))).collect()
+    extract(warm).agg(F.sum(F.size("spans")),
+                      F.sum(F.length("task_text_html"))).collect()
 
     best = None
     for i in range(TIMED_RUNS):
@@ -64,9 +66,13 @@ def main() -> None:
         t0 = time.time()
         # `+ lit(i+1)` survives constant folding (unlike `* 0`), so each
         # iteration's canonicalized plan is distinct; undone after collect.
+        # html/text sums keep the topic/HTML/G7 stages in the timed plan
+        # (column pruning would otherwise drop them from an agg-only job).
         row = extract(docs).agg(
             (F.sum(F.size("spans")) + F.lit(i + 1)).alias("n_spans"),
             F.count(F.lit(1)).alias("n_tasks"),
+            F.sum(F.length("task_text_html")).alias("html_chars"),
+            F.sum(F.col("was_merged").cast("int")).alias("n_merged"),
         ).collect()[0]
         wall = time.time() - t0
         cpu = _jvm_cpu_sec(spark) - cpu0
