@@ -239,6 +239,28 @@ def _q_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_tbl(spark, sf_dir, "documents"))
 
 
+def _q_code_detect(spark, sf_dir):
+    return textstats.code_detect(_tbl(spark, sf_dir, "documents"))
+
+
+def _q_topic_enum(spark, sf_dir):
+    """J3: topic-enum broadcast lookup (the lexicon order IS the enum,
+    scripts/task_processing.py:80-87,102-107)."""
+    from ocrspark import config as C
+
+    enum = spark.createDataFrame(
+        [(i + 1, t) for i, (t, _) in enumerate(C.TOPIC_LEXICON)]
+        + [(0, C.UNKNOWN_TOPIC)],
+        "topic_id int, topic string",
+    )
+    out = extract(_docs(spark))
+    return (
+        out.join(F.broadcast(enum), "topic")
+        .groupBy("topic_id", "topic")
+        .agg(F.count(F.lit(1)).alias("n_tasks"))
+    )
+
+
 def _q_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(_tbl(spark, sf_dir, "embeddings"))
 
@@ -377,6 +399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": _q_quality,
         "text_token_stats": _q_tokens,
         "text_fingerprint": _q_fingerprint,
+        "p16_code_detect": _q_code_detect,
+        "j3_topic_enum": _q_topic_enum,
         "ann_cosine_topk": _q_cosine_topk,
         "ann_lsh_buckets": _q_lsh_buckets,
         "ann_lsh_search": _q_lsh_search,
@@ -666,6 +690,19 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
 FROM r WHERE rank <= {k}"""
 
 
+def _sql_topic_enum() -> str:
+    from ocrspark import config as C
+
+    whens = " ".join(
+        f"WHEN '{t}' THEN {i + 1}" for i, (t, _) in enumerate(C.TOPIC_LEXICON)
+    )
+    inner = O.sql_topic_assign(_fixture_rel())
+    return (
+        f"SELECT CASE topic {whens} ELSE 0 END AS topic_id, topic, "
+        f"count(*) AS n_tasks FROM ({inner}) tq GROUP BY 1, 2"
+    )
+
+
 def _sql_sessionize_events() -> str:
     return """
 WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
@@ -724,6 +761,12 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_score": _sql_quality(),
         "text_token_stats": _sql_tokens(),
         "text_fingerprint": _sql_fingerprint(),
+        "p16_code_detect": (
+            f"SELECT doc_id, len(regexp_extract_all(text, '{textstats.CODE_TOKENS_RE}')) AS code_hits, "
+            f"CAST(len(regexp_extract_all(text, '{textstats.CODE_TOKENS_RE}')) >= {textstats.CODE_MIN_HITS} AS INT) AS is_code "
+            "FROM documents"
+        ),
+        "j3_topic_enum": _sql_topic_enum(),
         "ann_cosine_topk": _sql_cosine_topk(),
         "ann_lsh_buckets": _sql_lsh_buckets(),
         "ann_lsh_search": _sql_lsh_search(),

@@ -75,6 +75,26 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# P16/F9 rule replacement: the reference asks an LLM "is this code"
+# (/root/reference/scripts/extract_images.py:316-324, prompts/detect_code.txt);
+# deterministic form: count code-token matches, >=2 hits -> code.
+CODE_TOKENS_RE = (
+    r"(def |import |return|print\(|for |while |elif |== |\+= |-= |\*= "
+    r"|np\.|plt\.|range\(|lambda )"
+)
+CODE_MIN_HITS = 2
+
+
+def code_detect(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """P16: code-token heuristic (figure keep/skip gate in the reference)."""
+    hits = F.size(F.regexp_extract_all(F.col(text_col), F.lit(CODE_TOKENS_RE), 0))
+    return docs.select(
+        "doc_id",
+        hits.alias("code_hits"),
+        (hits >= CODE_MIN_HITS).cast("int").alias("is_code"),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Canonical-text fingerprint: md5 of lowercased whitespace-squeezed text
     (exact-dup key; md5 is bit-identical across engines)."""
