@@ -75,6 +75,40 @@ def test_fold_equals_apply_in_pandas(spark):
         assert [r.was_merged for r in rows] == flags
 
 
+def test_fold_chained_and_random(spark):
+    """Catalyst fold == pyref.g7_merge on crafted chained triggers (stale
+    split positions, the reference's quirk) and randomized task lists."""
+    import random
+
+    from ocrspark.segment import g7_merged_flags, g7_merged_texts
+
+    chained = [
+        "A" * 30 + " Oppgave 2 " + "B" * 80,   # long, late heading
+        "C" * 26 + " Oppgave 3 " + "D" * 10,   # short AND has late heading
+        "E" * 60,                               # short -> chained stale split
+    ]
+    rng = random.Random(7)
+    cases = [chained, [], ["single short"], ["x" * 200]]
+    words = ["tekst", "Oppgave 4", "oppgåve 12", "3 (A)", "y" * 40, "kort"]
+    for _ in range(20):
+        n = rng.randint(1, 6)
+        cases.append(
+            [" ".join(rng.choice(words) for _ in range(rng.randint(1, 8)))
+             for _ in range(n)]
+        )
+    df = spark.createDataFrame([(c,) for c in cases], "orig array<string>")
+    rows = df.select(
+        "orig",
+        g7_merged_texts(F.col("orig")).alias("m"),
+        g7_merged_flags(F.col("orig")).alias("f"),
+    ).collect()
+    assert len(rows) == len(cases)
+    for r in rows:
+        exp_m, exp_f = pyref.g7_merge(list(r.orig))
+        assert list(r.m) == exp_m, r.orig
+        assert list(r.f) == exp_f, r.orig
+
+
 def test_merge_order_is_numeric(spark):
     # task 10 must sort after 9 (numeric, not lexicographic)
     rows = [("d", str(i), f"task {i} " + "x" * 120) for i in [9, 10, 11, 1]]
