@@ -204,6 +204,9 @@ G7_TASK_HEAD_RE = r"(?i)(oppg[aå]ve\s*[0-9]+|[0-9]+\s*\(\s*[A-Z]\s*\))"
 # (exams.json:4-13) and prompt examples (prompts/exam_topics.txt:8-12).
 # Keywords are lowercase literals, alternation order = listed order
 # (leftmost-first matching agrees across Java regex, RE2 and Python re).
+# One regexp_count scan per topic: a single combined-alternation scan with
+# array-membership attribution was measured ~5x SLOWER on Spark (array HOFs
+# run interpreted; 8 codegen'd scans beat one scan + match materialization).
 # --------------------------------------------------------------------------
 UNKNOWN_TOPIC = "Unknown Topic"
 TOPIC_SCORE_BASE = 1_000_000

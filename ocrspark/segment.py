@@ -88,36 +88,94 @@ def aggregate_tasks(sessionized: DataFrame) -> DataFrame:
         "stripped_len",
         F.length(rules.strip_admin(rules.strip_label(F.col("task_text")))),
     )
+    # G7 heading position as a per-task SCALAR here (codegen'd, one regex per
+    # task row).  Computing it later over the nested task array would run
+    # inside interpreted lambdas, where optimizer inlining re-evaluates the
+    # regex once per consumer site (measured ~2x on the whole pipeline).
+    tasks = tasks.withColumn("mpos", rules.g7_match_pos(F.col("task_text")))
     return tasks.withColumn("points", rules.extract_points(F.col("task_text")))
 
 
-def nest_per_doc(tasks: DataFrame) -> DataFrame:
-    """One row per doc: sorted task array + doc-level fields.
+def nest_per_doc(tasks: DataFrame,
+                 expected: DataFrame | None = None) -> DataFrame:
+    """Head/tail admin window (F6/F7), renumbering (G4/J6), F4 drop — as
+    ROW-LEVEL window functions — then ONE nesting aggregation per doc.
 
-    groupBy(doc_id): again satisfied by hash(doc_id), no exchange.  The doc
-    text for subject/version (P4/P5) is the ordered concat of the per-task
-    texts — identical to the global span-text concat since both skip empties
-    and join on single spaces.
+    All of these key on doc_id (supersets), so the sessionization window's
+    hash(doc_id) partitioning satisfies every step: zero additional
+    exchanges.  The task array and the doc text become AGGREGATE OUTPUT
+    attributes; this matters for performance — derived-array formulations of
+    the same logic get inlined by the optimizer into every consumer site and
+    re-built the task array (with all span payloads) ~7x per row (measured
+    2x on the whole pipeline).
+
+    The doc text for subject/version/source (P4/P5) is the ordered concat of
+    ALL per-task texts (head/tail-dropped tasks included, as the reference
+    reads the whole document) — identical to the global span-text concat
+    since both skip empties and join on single spaces.
     """
-    nested = tasks.groupBy("doc_id").agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct("task_seq", "sp", "raw_len", "task_text",
-                         "stripped_len", "points")
-            )
-        ).alias("tarr")
+    w_doc = Window.partitionBy("doc_id")
+    w_ord = Window.partitionBy("doc_id").orderBy("task_seq")
+    valid_seq = F.when(
+        (F.col("task_seq") >= 1)
+        & (F.col("stripped_len") >= C.MIN_STRIPPED_TASK_CHARS),
+        F.col("task_seq"),
     )
-    doc_text = F.array_join(
-        F.transform(
-            F.filter(F.col("tarr"), lambda x: x["task_text"] != ""),
-            lambda x: x["task_text"],
+    df = tasks.withColumn("first_valid", F.min(valid_seq).over(w_doc)).withColumn(
+        "last_valid", F.max(valid_seq).over(w_doc)
+    )
+    in_window = (F.col("task_seq") >= F.col("first_valid")) & (
+        F.col("task_seq") <= F.col("last_valid")
+    )
+    # position among in-window tasks (0-based); junk value outside the window
+    df = df.withColumn(
+        "widx",
+        F.sum(in_window.cast("int")).over(
+            w_ord.rowsBetween(Window.unboundedPreceding, 0)
+        ) - 1,
+    )
+    if expected is not None:
+        df = df.join(
+            F.broadcast(expected.select("doc_id", "expected_tasks")),
+            "doc_id", "left",
+        )
+        exp_arr = F.col("expected_tasks")
+    else:
+        exp_arr = F.lit(None).cast("array<string>")
+    task_number = F.coalesce(
+        F.get(exp_arr, F.col("widx")), (F.col("widx") + 1).cast("string")
+    )
+    survive = in_window & (F.col("raw_len") >= C.MIN_TASK_TEXT_CHARS)
+    task_struct = F.when(
+        survive,
+        F.struct(
+            F.col("widx").alias("widx"),
+            task_number.alias("task_number"),
+            F.col("points").alias("points"),
+            F.col("task_text").alias("task_text"),
+            F.col("mpos").alias("mpos"),
+            F.col("sp").alias("sp"),
         ),
-        " ",
+    )
+    doc_text_struct = F.when(
+        F.col("task_text") != "",
+        F.struct(F.col("task_seq").alias("k"), F.col("task_text").alias("t")),
+    )
+    nested = df.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(task_struct)).alias("tasks0"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(doc_text_struct)), lambda x: x["t"]
+            ),
+            " ",
+        ).alias("doc_text"),
     )
     return (
-        nested.withColumn("subject", rules.extract_subject(doc_text))
-        .withColumn("exam_version", rules.extract_version(doc_text))
-        .withColumn("source_subject_code", rules.extract_source_code(doc_text))
+        nested.withColumn("subject", rules.extract_subject(F.col("doc_text")))
+        .withColumn("exam_version", rules.extract_version(F.col("doc_text")))
+        .withColumn(
+            "source_subject_code", rules.extract_source_code(F.col("doc_text"))
+        )
     )
 
 
@@ -125,21 +183,30 @@ def _empty_int_array() -> Column:
     return F.array().cast("array<int>")
 
 
-def g7_merged_texts(orig: Column) -> Column:
+def g7_merged_texts(orig: Column, mpos: Column | None = None) -> Column:
     """G7 forward-merge as a pure catalyst fold (pyref.g7_merge).
 
     ``orig``: array<string> of the surviving tasks' original raw texts in
-    task-number order.  Triggers (validity + late-heading position) are pure
-    functions of the ORIGINAL texts (old/taskseparation.py:33-53 computes
-    both up front); only the text splits walk sequentially, so the whole
-    repair is one ``aggregate`` over indices — no UDF, no extra exchange.
-    (The sanctioned ``applyInPandas`` twin lives in ocrspark.merge and is
-    differentially tested against this fold.)
+    task-number order; ``mpos``: the per-task late-heading positions
+    (computed from ``orig`` when omitted).  Triggers (validity + heading
+    position) are pure functions of the ORIGINAL texts
+    (old/taskseparation.py:33-53 computes both up front); only the text
+    splits walk sequentially, so the whole repair is one ``aggregate`` over
+    indices — no UDF, no extra exchange.  (The sanctioned ``applyInPandas``
+    twin lives in ocrspark.merge and is differentially tested against this
+    fold.)
+
+    PERF: callers on the hot path MUST pass ``orig``/``mpos`` as bound
+    columns (withColumn), not raw expressions — array lambdas run
+    interpreted (no codegen subexpression elimination), so an expression
+    argument is re-evaluated on EVERY F.get access inside the fold
+    (measured ~2.5x on the whole pipeline).
 
     NB: ``sequence(a, b)`` descends when a > b, so empty/singleton arrays are
     guarded explicitly.
     """
-    mpos = F.transform(orig, rules.g7_match_pos)
+    if mpos is None:
+        mpos = F.transform(orig, rules.g7_match_pos)
     n = F.size(orig)
     seq = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(_empty_int_array())
 
@@ -162,9 +229,11 @@ def g7_merged_texts(orig: Column) -> Column:
     return F.aggregate(seq, orig, step)
 
 
-def g7_merged_flags(orig: Column) -> Column:
-    """was_merged flags: task i touched iff trigger(i) or trigger(i+1)."""
-    mpos = F.transform(orig, rules.g7_match_pos)
+def g7_merged_flags(orig: Column, mpos: Column | None = None) -> Column:
+    """was_merged flags: task i touched iff trigger(i) or trigger(i+1).
+    Same bound-column contract as g7_merged_texts."""
+    if mpos is None:
+        mpos = F.transform(orig, rules.g7_match_pos)
     n = F.size(orig)
 
     def trig_at(j: Column) -> Column:
@@ -179,54 +248,18 @@ def g7_merged_flags(orig: Column) -> Column:
     return F.transform(idxs, lambda i: trig_at(i) | trig_at(i + 1))
 
 
-def select_tasks(nested: DataFrame, merge: bool = True,
-                 expected: DataFrame | None = None) -> DataFrame:
-    """F6/F7 admin window + renumbering + F4 + G7 merge, as array expressions.
+def select_tasks(nested: DataFrame, merge: bool = True) -> DataFrame:
+    """G7 merge fold + final task-struct assembly over the nested task array.
 
-    ``expected``: optional (doc_id, expected_tasks array<string>) broadcast
-    map — J6 positional alignment (task_boundaries.py:280-283: range i takes
-    expected_tasks[i] when provided, else str(i+1))."""
-    def _seq_of(valid: Column) -> Column:
-        return F.transform(valid, lambda x: x["task_seq"])
-
-    if expected is not None:
-        nested = nested.join(
-            F.broadcast(expected.select("doc_id", "expected_tasks")),
-            "doc_id", "left",
-        )
-        exp_arr = F.col("expected_tasks")
-    else:
-        exp_arr = F.lit(None).cast("array<string>")
-
-    valid = F.filter(
-        F.col("tarr"),
-        lambda x: (x["task_seq"] >= 1)
-        & (x["stripped_len"] >= C.MIN_STRIPPED_TASK_CHARS),
-    )
-    df = nested.withColumn("first_valid", F.array_min(_seq_of(valid))).withColumn(
-        "last_valid", F.array_max(_seq_of(valid))
-    )
-    windowed = F.filter(
-        F.col("tarr"),
-        lambda x: (x["task_seq"] >= F.col("first_valid"))
-        & (x["task_seq"] <= F.col("last_valid")),
-    )
-    numbered = F.transform(
-        windowed,
-        lambda x, i: F.struct(
-            F.coalesce(F.get(exp_arr, i), (i + 1).cast("string"))
-            .alias("task_number"),
-            x["points"].alias("points"),
-            x["raw_len"].alias("raw_len"),
-            x["task_text"].alias("task_text"),
-            x["sp"].alias("sp"),
-        ),
-    )
-    surviving = F.filter(numbered, lambda x: x["raw_len"] >= C.MIN_TASK_TEXT_CHARS)
-    df = df.withColumn("tasks0", surviving)
+    ``tasks0`` is an aggregate attribute, so the extraction transforms here
+    stay cheap even when the optimizer inlines them into every consumer site
+    (ints/string refs only — the heavy array build happened once in the
+    aggregation; mpos was a codegen'd scalar per task row)."""
     orig = F.transform(F.col("tasks0"), lambda x: x["task_text"])
     if merge:
-        merged, flags = g7_merged_texts(orig), g7_merged_flags(orig)
+        mpos = F.transform(F.col("tasks0"), lambda x: x["mpos"])
+        merged = g7_merged_texts(orig, mpos)
+        flags = g7_merged_flags(orig, mpos)
     else:
         merged, flags = orig, F.transform(orig, lambda _: F.lit(False))
     tasks = F.zip_with(
@@ -240,13 +273,19 @@ def select_tasks(nested: DataFrame, merge: bool = True,
             x["sp"].alias("sp"),
         ),
     )
-    return df.withColumn("tasks", tasks).select(
+    return nested.withColumn("tasks", tasks).select(
         "doc_id", "subject", "exam_version", "source_subject_code", "tasks"
     )
 
 
 def segment(flat: DataFrame, merge: bool = True,
             expected: DataFrame | None = None) -> DataFrame:
-    """flat spans -> one row per doc with surviving numbered task array."""
-    return select_tasks(nest_per_doc(aggregate_tasks(sessionize(flat))),
-                        merge=merge, expected=expected)
+    """flat spans -> one row per doc with surviving numbered task array.
+
+    ``expected``: optional (doc_id, expected_tasks array<string>) broadcast
+    map — J6 positional alignment (task_boundaries.py:280-283: range i takes
+    expected_tasks[i] when provided, else str(i+1))."""
+    return select_tasks(
+        nest_per_doc(aggregate_tasks(sessionize(flat)), expected=expected),
+        merge=merge,
+    )
