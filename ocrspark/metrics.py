@@ -24,5 +24,6 @@ def observed(extractions: DataFrame) -> tuple[Observation, DataFrame]:
         F.count(F.lit(1)).alias("tasks"),
         F.sum(F.size("spans")).alias("spans"),
         F.sum(F.col("points")).alias("points_total"),
+        F.sum(F.col("was_merged").cast("int")).alias("merged_tasks"),
     )
     return obs, df
