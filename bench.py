@@ -62,7 +62,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     docs, n_docs = _bench_docs(spark, sf)
-    docs.count()  # warm scan / JIT outside timed region
+    docs.count()  # warm scan outside timed region
 
     def tbl(name):
         return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -79,6 +79,13 @@ def main() -> None:
         ]
 
     out_dir = str(REPO / ".bench_cache" / "out")
+
+    # untimed JIT warmup on a 20% hash slice, same plans as the timed
+    # queries (a long-lived cluster job amortizes JIT to zero; round-1's
+    # "extract" number carried ~60 s of one-time JIT at sf0.1)
+    warm = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(5)) == 0)
+    extract(warm).agg(*sink()).collect()
+    extract(warm, arrow=True).agg(*sink()).collect()
 
     queries = {
         "extract": lambda: extract(docs).agg(*sink()).collect(),
