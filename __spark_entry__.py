@@ -223,6 +223,10 @@ def _q_simhash(spark, sf_dir):
     return dedup.simhash(_tbl(spark, sf_dir, "documents"))
 
 
+def _q_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_near_dups(_tbl(spark, sf_dir, "documents"))
+
+
 def _q_lang_id(spark, sf_dir):
     return textstats.lang_id(_tbl(spark, sf_dir, "documents"))
 
@@ -395,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signatures": _q_minhash_sigs,
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_simhash": _q_simhash,
+        "dedup_simhash_pairs": _q_simhash_pairs,
         "text_lang_id": _q_lang_id,
         "text_quality_score": _q_quality,
         "text_token_stats": _q_tokens,
@@ -540,6 +545,32 @@ wh AS (
 ),
 agg AS (SELECT doc_id, {sums} FROM wh GROUP BY doc_id)
 SELECT doc_id, {bits} AS simhash FROM agg"""
+
+
+def _sql_simhash_pairs() -> str:
+    """Byte-block candidate join + hamming verify (twin of
+    dedup.simhash_near_dups)."""
+    blocks = ", ".join(
+        f"[{b}, (simhash >> {8 * b}) & 255]" for b in range(dedup.SIMHASH_BLOCKS)
+    )
+    return f"""
+WITH sh AS ({_sql_simhash().strip()}),
+blocks AS (
+  SELECT doc_id, simhash, u.b[1]::INT AS block_id, u.b[2]::BIGINT AS block_val
+  FROM sh, LATERAL UNNEST([{blocks}]) AS u(b)
+),
+capped AS (
+  SELECT * FROM blocks
+  QUALIFY count(*) OVER (PARTITION BY block_id, block_val) <= {dedup.MAX_BUCKET}
+),
+p AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM capped a JOIN capped b USING (block_id, block_val)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT DISTINCT doc1, doc2, hamming FROM p
+WHERE hamming <= {dedup.SIMHASH_MAX_HAMMING}"""
 
 
 _EN = textstats.EN_STOPWORDS
@@ -757,6 +788,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_signatures": _sql_minhash_sigs(),
         "dedup_minhash_pairs": _sql_minhash_pairs(),
         "dedup_simhash": _sql_simhash(),
+        "dedup_simhash_pairs": _sql_simhash_pairs(),
         "text_lang_id": _sql_lang_id(),
         "text_quality_score": _sql_quality(),
         "text_token_stats": _sql_tokens(),

@@ -157,6 +157,61 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text",
     return jaccard_verify(pairs, sh, threshold)
 
 
+SIMHASH_BLOCKS = 4  # 4 x 8-bit blocks over the 32-bit simhash
+SIMHASH_MAX_HAMMING = 3  # pigeonhole: <=3 flipped bits leave >=1 block intact
+
+
+def simhash_near_dups(docs: DataFrame, text_col: str = "text",
+                      max_hamming: int = SIMHASH_MAX_HAMMING,
+                      max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """SimHash near-duplicate pairs at scale shape (Charikar block trick).
+
+    Candidates = pairs sharing at least one intact 8-bit block of the 32-bit
+    simhash (equi-join on (block_id, block_val); exact for hamming <=
+    SIMHASH_BLOCKS - 1 by pigeonhole) -> verify with bit_count(xor) <=
+    max_hamming.  Never all-pairs; hot block values (common in boilerplate
+    clusters) are capped like the MinHash bands (explicit, not silent —
+    route oversized buckets to exact-group handling).
+    """
+    from pyspark.sql import Window
+
+    sh = simhash(docs, text_col)
+    blocks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("block_id"),
+                    F.shiftright(F.col("simhash"), 8 * b)
+                    .bitwiseAND(F.lit(255)).alias("block_val"),
+                )
+                for b in range(SIMHASH_BLOCKS)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "simhash",
+             F.col("b.block_id").alias("block_id"),
+             F.col("b.block_val").alias("block_val"))
+    w = Window.partitionBy("block_id", "block_val")
+    capped = blocks.withColumn("bsz", F.count(F.lit(1)).over(w)).filter(
+        F.col("bsz") <= max_bucket
+    ).drop("bsz")
+    a = capped.select(F.col("doc_id").alias("doc1"),
+                      F.col("simhash").alias("sh1"), "block_id", "block_val")
+    b = capped.select(F.col("doc_id").alias("doc2"),
+                      F.col("simhash").alias("sh2"), "block_id", "block_val")
+    return (
+        a.join(b, ["block_id", "block_val"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select(
+            "doc1", "doc2",
+            F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """32-bit SimHash over word hashes (per-bit majority vote).
 

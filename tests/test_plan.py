@@ -69,6 +69,7 @@ def test_scaled_similarity_paths_are_equi_joins(spark):
         similarity.embedding_near_dups(emb, threshold=0.4),
         similarity.lsh_search(emb),
         dedup.minhash_dedup(docs, threshold=0.2),
+        dedup.simhash_near_dups(docs),
     ]:
         plan = _plan(df)
         assert "CartesianProduct" not in plan, plan
@@ -88,6 +89,25 @@ def test_embedding_near_dups_recall(spark):
     assert banded <= exact
     assert len(exact) > 0
     assert len(banded) / len(exact) >= 0.5  # OR-of-ANDs recall at cos>=0.4
+
+
+def test_simhash_blocks_exact_for_low_hamming(spark):
+    """The byte-block candidate join is EXACT (not approximate) for
+    hamming <= SIMHASH_BLOCKS - 1: compare against brute-force pairs."""
+    from itertools import combinations
+
+    from ocrspark.ops import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    brute = {
+        (min(a, b), max(a, b), bin(sh[a] ^ sh[b]).count("1"))
+        for a, b in combinations(sorted(sh), 2)
+        if bin(sh[a] ^ sh[b]).count("1") <= dedup.SIMHASH_MAX_HAMMING
+    }
+    got = {(r.doc1, r.doc2, r.hamming)
+           for r in dedup.simhash_near_dups(docs).collect()}
+    assert got == brute and len(brute) > 0
 
 
 def test_whole_stage_codegen_present(spark):
