@@ -44,6 +44,71 @@ def stream_extract(spark: SparkSession, input_dir: str, out_dir: str,
     )
 
 
+SESSION_GAP_MS = 1_800_000  # 30 min, same as the batch sessionization
+
+
+def sessionize_stream(events: DataFrame, gap_ms: int = SESSION_GAP_MS):
+    """Custom stateful streaming operator: per-user session numbering via
+    ``applyInPandasWithState`` (the sanctioned stateful-UDF surface).
+
+    State per user = (last event ms, running session counter); each
+    micro-batch's events extend the numbering exactly like the batch
+    ``w2`` sessionization (gap > 30 min opens a new session).  The batch
+    inside the group is vectorized numpy (no per-row Python loop).
+
+    Ordering contract: per-user event time must be non-decreasing ACROSS
+    micro-batches (within a batch the group is sorted here).  Production
+    would pair this with a watermark-delayed source so late events land in
+    the right batch; the bounded test drives files in mtime order.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ms", T.LongType()),
+        T.StructField("session_seq", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("seq", T.LongType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        last_ms, seq = state.get if state.exists else (None, 0)
+        rows = pd.concat(list(pdfs)).sort_values(["ms", "event_id"])
+        ms = rows["ms"].to_numpy()
+        if len(ms):
+            prev = np.concatenate(
+                [[last_ms if last_ms is not None else np.iinfo(np.int64).min // 2],
+                 ms[:-1]]
+            )
+            new = (ms - prev) > gap_ms
+            if last_ms is None:
+                new[0] = True
+            seqs = seq + np.cumsum(new.astype(np.int64))
+            state.update((int(ms[-1]), int(seqs[-1])))
+            out = pd.DataFrame({
+                "user_id": np.int64(key[0]),
+                "event_id": rows["event_id"].to_numpy(),
+                "ms": ms,
+                "session_seq": seqs,
+            })
+            yield out
+
+    prepared = events.select(
+        F.col("user_id").cast("long"),
+        F.col("event_id").cast("long"),
+        F.unix_millis(F.col("ts").cast("timestamp_ltz")).alias("ms"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def windowed_event_counts(events: DataFrame, window: str = "10 minutes",
                           slide: str | None = None,
                           watermark: str = "30 minutes") -> DataFrame:

@@ -1,11 +1,14 @@
 """Streaming (availableNow drain) + observe-metrics tests."""
 
-from pyspark.sql import functions as F
+import os
+
+from pyspark.sql import Window, functions as F
 
 from ocrspark.corpus import generate_docs
 from ocrspark.metrics import observed
 from ocrspark.pipeline import extract
-from ocrspark.streaming import stream_extract, windowed_event_counts
+from ocrspark.streaming import (sessionize_stream, stream_extract,
+                                windowed_event_counts)
 
 
 def test_observed_metrics(spark):
@@ -38,6 +41,50 @@ def test_stream_extract_matches_batch(spark, tmp_path):
     q2 = stream_extract(spark, in_dir, out_dir, cp)
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == exp.count()
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization across MULTIPLE micro-batches
+    (state carry-over) equals the batch window sessionization."""
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    e = events.select("user_id", "event_id", "ts").withColumn(
+        "ms", F.unix_millis(F.col("ts").cast("timestamp_ltz"))
+    )
+    med = e.agg(F.expr("percentile(ms, 0.5)")).first()[0]
+
+    in_dir = tmp_path / "sess_in"
+    in_dir.mkdir()
+    for i, part in enumerate([e.filter(F.col("ms") <= med),
+                              e.filter(F.col("ms") > med)]):
+        tmp = tmp_path / f"half{i}"
+        part.select("user_id", "event_id", "ts").coalesce(1).write.parquet(str(tmp))
+        src = next(p for p in tmp.iterdir() if p.name.endswith(".parquet"))
+        dst = in_dir / f"{i}.parquet"
+        src.rename(dst)
+        os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+
+    schema = "user_id long, event_id long, ts timestamp"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(in_dir)))
+    q = (sessionize_stream(stream).writeStream.format("memory")
+         .queryName("sess_stream").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r.user_id, r.event_id): r.session_seq
+           for r in spark.table("sess_stream").collect()}
+
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    new_s = F.when(
+        (F.col("ms") - F.lag("ms").over(w) > 1_800_000)
+        | F.lag("ms").over(w).isNull(), 1,
+    ).otherwise(0)
+    exp_df = e.withColumn(
+        "session_seq",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    exp = {(r.user_id, r.event_id): r.session_seq for r in exp_df.collect()}
+    assert len(got) == len(exp) > 0
+    assert got == exp
 
 
 def test_windowed_event_counts_batch(spark):
