@@ -51,6 +51,10 @@ def exams_catalog(extractions: DataFrame) -> DataFrame:
         "source_subject_code",
         F.struct(
             _task_sort_key(F.col("task_number")).alias("_k"),
+            # the reference's tie-break is the task_number STRING
+            # (object_handling.py:241-246 `_sort_key`: (int, str(num)));
+            # _k2 pins it ahead of the payload fields in the struct compare
+            F.col("task_number").alias("_k2"),
             F.col("topic").alias("topic"),
             F.col("task_number").alias("task_number"),
             F.col("points").alias("points"),
@@ -62,7 +66,7 @@ def exams_catalog(extractions: DataFrame) -> DataFrame:
         F.min("source_subject_code").alias("source_subject_code"),
         F.transform(
             F.array_sort(F.collect_list("t")),
-            lambda t: t.dropFields("_k"),
+            lambda t: t.dropFields("_k", "_k2"),
         ).alias("tasks"),
     )
     topics = F.array_distinct(

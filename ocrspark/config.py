@@ -188,7 +188,19 @@ OPERATOR_SPACE_RE = (r"([+\-*/^=()])", r" $1 ")
 # --------------------------------------------------------------------------
 G7_MIN_VALID_CHARS = 100   # old/taskseparation.py:38
 G7_HEAD_SKIP = 25          # old/taskseparation.py:50
-G7_TASK_HEAD_RE = r"(?i)(oppg[aå]ve\s*[0-9]+|[0-9]+\s*\(\s*[A-Z]\s*\))"
+# The reference tries three heading patterns IN ORDER and takes the first
+# PATTERN that matches anywhere in text[25:] (old/taskseparation.py:44-53) —
+# NOT the earliest match position across patterns.  When a text contains
+# both "3 (A)" early and "Oppgave 2" later (both past char 25), the split
+# position is Oppgave's, because the oppgave pattern has priority.  Every
+# engine (Spark rules.g7_match_pos, pyref.g7_match_pos,
+# duckdb_oracle.sql_g7_mpos, merge._merge_doc) folds over this tuple in
+# order, so the priority semantics are shared by construction.
+G7_TASK_HEAD_PATTERNS = (
+    r"(?i)oppgave\s*[0-9]+",        # taskseparation.py:45
+    r"(?i)oppgåve\s*[0-9]+",        # taskseparation.py:46
+    r"(?i)[0-9]+\s*\(\s*[A-Z]\s*\)",  # taskseparation.py:47
+)
 
 # --------------------------------------------------------------------------
 # P6/P11 + J3: deterministic topic classification (SURVEY 2.9: "heading/

@@ -176,7 +176,9 @@ surviving AS (
 docfields AS (
   SELECT doc_id,
     {sql_subject("doc_text")} AS subject,
-    {sql_version("doc_text")} AS exam_version
+    {sql_version("doc_text")} AS exam_version,
+    coalesce(nullif(regexp_extract(doc_text, {_q(C.SUBJECT_CODE_RE)}, 1), ''),
+             'UNKNOWN') AS source_subject_code
   FROM (
     SELECT doc_id,
       coalesce(string_agg(nullif(text, ''), ' ' ORDER BY off), '') AS doc_text
@@ -188,14 +190,18 @@ docfields AS (
 def sql_g7_mpos(col: str) -> str:
     """G7 late-heading char position (pyref.g7_match_pos) without
     regexp_instr: the length of the first piece of a regex split is the
-    0-based match position within the tail."""
-    pat = _q(C.G7_TASK_HEAD_RE)
+    0-based match position within the tail.  Folds over the reference's
+    patterns in priority order (first PATTERN that matches wins,
+    old/taskseparation.py:44-53)."""
     tail = f"substr({col}, {C.G7_HEAD_SKIP + 1})"
-    split = f"regexp_split_to_array({tail}, {pat})"
-    return (
-        f"CASE WHEN len({split}) > 1 "
-        f"THEN {C.G7_HEAD_SKIP} + length({split}[1]) ELSE 0 END"
-    )
+    expr = "0"
+    for pat in reversed(C.G7_TASK_HEAD_PATTERNS):
+        split = f"regexp_split_to_array({tail}, {_q(pat)})"
+        expr = (
+            f"CASE WHEN len({split}) > 1 "
+            f"THEN {C.G7_HEAD_SKIP} + length({split}[1]) ELSE {expr} END"
+        )
+    return expr
 
 
 def sql_topic(col: str) -> str:
@@ -302,32 +308,41 @@ final AS (SELECT doc_id, task_number, {chain} AS task_text FROM texttasks)
 SELECT doc_id, task_number, {sql_topic('task_text')} AS topic FROM final""")
 
 
-def sql_format_html(docs_rel: str) -> str:
-    """P13: <p> per non-empty output text span + points trailer."""
-    return f"""{sql_pipeline_ctes(docs_rel)},
-outspans AS (
+def sql_html_ctes() -> str:
+    """P13 HTML CTE chain (appended after sql_pipeline_ctes): `html` =
+    (doc_id, task_number, task_text_html)."""
+    return f""",
+houtspans AS (
   SELECT k.doc_id, s.task_number, s.points, k.off,
     {sql_normalize_math(sql_strip_admin("CASE WHEN k.is_marker THEN " + sql_strip_label("k.text") + " ELSE k.text END"))} AS text
   FROM kept k
   JOIN surviving s ON k.doc_id = s.doc_id AND k.task_seq = s.task_seq
   WHERE k.kind = 'text'
 ),
-paras AS (
+hparas AS (
   SELECT doc_id, task_number, off, {sql_html_paragraph('text')} AS para
-  FROM outspans WHERE text <> ''
+  FROM houtspans WHERE text <> ''
 ),
-bodies AS (
+hbodies AS (
   SELECT doc_id, task_number,
     string_agg('<p>' || para || '</p>', chr(10) ORDER BY off) AS body
-  FROM paras WHERE para <> '' GROUP BY doc_id, task_number
-)
-SELECT s.doc_id, s.task_number,
-  CASE WHEN b.body IS NULL THEN '<p>Maks poeng: ' || CAST(s.points AS VARCHAR) || '</p>'
-       ELSE b.body || chr(10) || chr(10) ||
-            '<p>Maks poeng: ' || CAST(s.points AS VARCHAR) || '</p>' END
-    AS task_text_html
-FROM surviving s
-LEFT JOIN bodies b ON b.doc_id = s.doc_id AND b.task_number = s.task_number"""
+  FROM hparas WHERE para <> '' GROUP BY doc_id, task_number
+),
+html AS (
+  SELECT s.doc_id, s.task_number,
+    CASE WHEN b.body IS NULL THEN '<p>Maks poeng: ' || CAST(s.points AS VARCHAR) || '</p>'
+         ELSE b.body || chr(10) || chr(10) ||
+              '<p>Maks poeng: ' || CAST(s.points AS VARCHAR) || '</p>' END
+      AS task_text_html
+  FROM surviving s
+  LEFT JOIN hbodies b ON b.doc_id = s.doc_id AND b.task_number = s.task_number
+)"""
+
+
+def sql_format_html(docs_rel: str) -> str:
+    """P13: <p> per non-empty output text span + points trailer."""
+    return f"""{sql_pipeline_ctes(docs_rel)}{sql_html_ctes()}
+SELECT doc_id, task_number, task_text_html FROM html"""
 
 
 def sql_extract_tasks(docs_rel: str) -> str:

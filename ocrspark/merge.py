@@ -29,7 +29,16 @@ from . import config as C
 
 MIN_VALID_CHARS = C.G7_MIN_VALID_CHARS
 HEAD_SKIP = C.G7_HEAD_SKIP
-TASK_HEAD_RE = re.compile(C.G7_TASK_HEAD_RE)
+TASK_HEAD_PATTERNS = [re.compile(p) for p in C.G7_TASK_HEAD_PATTERNS]
+
+
+def _head_pos(text: str) -> int:
+    """First-pattern-in-priority-order match position (pyref.g7_match_pos)."""
+    for pat in TASK_HEAD_PATTERNS:
+        m = pat.search(text[HEAD_SKIP:])
+        if m:
+            return m.start() + HEAD_SKIP
+    return 0
 
 MERGED_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType(), False),
@@ -45,10 +54,7 @@ def _merge_doc(pdf: pd.DataFrame) -> pd.DataFrame:
     merged = [False] * len(texts)
     # late heading-match position per task (vectorized probe, loop over K
     # tasks only — K ~ 16, bounded by the doc's task count)
-    match_pos = []
-    for t in texts:
-        m = TASK_HEAD_RE.search(t[HEAD_SKIP:])
-        match_pos.append(m.start() + HEAD_SKIP if m else 0)
+    match_pos = [_head_pos(t) for t in texts]
     for j in range(1, len(texts)):
         if len(texts[j]) < MIN_VALID_CHARS and match_pos[j - 1] != 0:
             split = match_pos[j - 1]
@@ -56,8 +62,7 @@ def _merge_doc(pdf: pd.DataFrame) -> pd.DataFrame:
             texts[j - 1] = texts[j - 1][:split] + texts[j]
             texts[j] = tail
             merged[j] = merged[j - 1] = True
-            m = TASK_HEAD_RE.search(texts[j - 1][HEAD_SKIP:])
-            match_pos[j - 1] = m.start() + HEAD_SKIP if m else 0
+            match_pos[j - 1] = _head_pos(texts[j - 1])
     pdf["task_text"] = texts
     pdf["was_merged"] = merged
     return pdf[["doc_id", "task_number", "task_text", "was_merged"]]

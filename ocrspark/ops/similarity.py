@@ -33,17 +33,56 @@ def _norm(a):
     )
 
 
-def cosine_topk(emb: DataFrame, k: int = 10, query_mod: int = 25) -> DataFrame:
-    """Exact top-k cosine neighbors for query vectors (vec_id % query_mod == 0).
+MAX_QUERIES = 65536  # broadcast-side hard cap (vectors, not bytes)
 
-    Plan shape: broadcast(query) x candidates -> window top-k.  At 100TB the
-    query side stays small by construction; the candidate scan is one pass.
+
+def _bounded_queries(q: DataFrame, max_queries: int) -> DataFrame:
+    """In-plan |Q| guard: assert the broadcast side is <= max_queries.
+
+    The check is part of the lazy plan (a filter whose predicate raises),
+    not a driver-side ``count()``: a 1-row count aggregate of q is broadcast
+    back onto q and every row is gated on ``q_n <= max_queries``.  The
+    predicate is deliberately NOT of the form ``assert_true(...) | true``
+    (BooleanSimplification would fold the assert away); ``when/otherwise
+    (raise_error)`` survives optimization because the branch condition
+    references a real column.
+    """
+    n = q.agg(F.count(F.lit(1)).alias("q_n"))
+    guard = F.when(F.col("q_n") <= F.lit(max_queries), F.lit(True)).otherwise(
+        F.raise_error(
+            F.lit(
+                f"cosine_topk: query side exceeds max_queries={max_queries}; "
+                "pass a smaller explicit `queries` DataFrame, raise "
+                "max_queries deliberately, or use lsh_search (the scale "
+                "default for corpus-sized query sets)"
+            )
+        ).cast("boolean")
+    )
+    return q.crossJoin(F.broadcast(n)).where(guard).drop("q_n")
+
+
+def cosine_topk(emb: DataFrame, k: int = 10, query_mod: int = 25,
+                queries: DataFrame | None = None,
+                max_queries: int = MAX_QUERIES) -> DataFrame:
+    """Exact top-k cosine neighbors — the CORRECTNESS BASELINE, not the
+    scale default (that is ``lsh_search``).
+
+    Plan shape: broadcast(query) x candidates -> window top-k.  The
+    broadcast side must be genuinely bounded: pass an explicit small
+    ``queries`` DataFrame (vec_id, embedding); the default fixture
+    behavior (vec_id % query_mod == 0) grows with the corpus and exists
+    for the driver's oracle harness.  Either way the query side is capped
+    at ``max_queries`` by an in-plan runtime assert — a corpus-scale query
+    set fails loudly instead of OOMing the broadcast.
     """
     from pyspark.sql import Window
 
-    q = emb.filter(F.col("vec_id") % query_mod == 0).select(
+    if queries is None:
+        queries = emb.filter(F.col("vec_id") % query_mod == 0)
+    q = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
+    q = _bounded_queries(q, max_queries)
     c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
     sim = F.round(_dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))), 9)
     pairs = (

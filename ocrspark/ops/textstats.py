@@ -3,6 +3,12 @@ document fingerprinting.
 
 All integer/string outputs (floats are scaled to integers) so results
 value-hash identically across Spark and the DuckDB oracle.
+
+Counting scans use ``regexp_count`` (a codegen'd counter) rather than
+``size(regexp_extract_all(...))`` — the latter materializes every match as
+a string array per row, which at 100 TB is pure allocation/GC pressure for
+a value that is immediately reduced to a length.  ``token_stats`` keeps the
+one genuine array (the subword estimate folds over the actual words).
 """
 
 from __future__ import annotations
@@ -20,8 +26,8 @@ PUNCT_RE = r"[^A-Za-z0-9\s]"
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-ratio language ID (en vs no vs unknown)."""
     t = F.lower(F.col(text_col))
-    en = F.size(F.regexp_extract_all(t, F.lit(EN_STOPWORDS), 0))
-    no = F.size(F.regexp_extract_all(t, F.lit(NO_STOPWORDS), 0))
+    en = F.regexp_count(t, F.lit(EN_STOPWORDS))
+    no = F.regexp_count(t, F.lit(NO_STOPWORDS))
     pred = (
         F.when(en > no, F.lit("en"))
         .when(no > en, F.lit("no"))
@@ -39,9 +45,9 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     t = F.col(text_col)
     n_chars = F.length(t)
-    n_words = F.size(F.regexp_extract_all(t, F.lit(r"\S+"), 0))
-    n_punct = F.size(F.regexp_extract_all(t, F.lit(PUNCT_RE), 0))
-    n_stop = F.size(F.regexp_extract_all(F.lower(t), F.lit(EN_STOPWORDS), 0))
+    n_words = F.regexp_count(t, F.lit(r"\S+"))
+    n_punct = F.regexp_count(t, F.lit(PUNCT_RE))
+    n_stop = F.regexp_count(F.lower(t), F.lit(EN_STOPWORDS))
     len_ok = (n_chars >= 100) & (n_chars <= 20000)
     punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
     stop_ratio = n_stop.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
@@ -87,7 +93,7 @@ CODE_MIN_HITS = 2
 
 def code_detect(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """P16: code-token heuristic (figure keep/skip gate in the reference)."""
-    hits = F.size(F.regexp_extract_all(F.col(text_col), F.lit(CODE_TOKENS_RE), 0))
+    hits = F.regexp_count(F.col(text_col), F.lit(CODE_TOKENS_RE))
     return docs.select(
         "doc_id",
         hits.alias("code_hits"),

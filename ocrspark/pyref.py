@@ -35,7 +35,7 @@ _SUBJECT = re.compile(C.SUBJECT_CODE_RE)
 _SEASON = re.compile(C.SEASON_RE)
 _EXERCISE = re.compile(C.EXERCISE_RE)
 _WS = re.compile(r"\s+")
-_TASK_HEAD = re.compile(C.G7_TASK_HEAD_RE)
+_TASK_HEAD_PATTERNS = [re.compile(p) for p in C.G7_TASK_HEAD_PATTERNS]
 _HTML_POINTS = re.compile(C.HTML_POINTS_STRIP_RE)
 _HTML_FIGURE = re.compile(C.HTML_FIGURE_RE)
 _TOPIC_RES = [(topic, re.compile("(" + "|".join(kws) + ")"))
@@ -172,9 +172,15 @@ def extract_version(doc_text: str) -> str:
 
 def g7_match_pos(text: str) -> int:
     """G7 late task-heading position (old/taskseparation.py:44-53): char
-    index of the first heading match at or after G7_HEAD_SKIP, else 0."""
-    m = _TASK_HEAD.search(text[C.G7_HEAD_SKIP:])
-    return m.start() + C.G7_HEAD_SKIP if m else 0
+    index of the match of the FIRST pattern (in priority order) that hits
+    at or after G7_HEAD_SKIP, else 0.  The reference breaks out of its
+    pattern loop on the first pattern that matches, so an earlier-position
+    match of a lower-priority pattern loses."""
+    for pat in _TASK_HEAD_PATTERNS:
+        m = pat.search(text[C.G7_HEAD_SKIP:])
+        if m:
+            return m.start() + C.G7_HEAD_SKIP
+    return 0
 
 
 def g7_merge(texts: list[str]) -> tuple[list[str], list[bool]]:

@@ -107,11 +107,17 @@ def g7_match_pos(text: Column) -> Column:
 
     ``regexp_instr`` returns the 1-based match position within the tail that
     starts after G7_HEAD_SKIP chars; the reference's value is the 0-based
-    position within the full text (old/taskseparation.py:50-53).
+    position within the full text (old/taskseparation.py:50-53).  Patterns
+    are tried in the reference's priority order — the first PATTERN that
+    matches wins, even if a lower-priority pattern matches earlier in the
+    text (taskseparation.py:44-53 breaks out of the pattern loop).
     """
     tail = text.substr(F.lit(C.G7_HEAD_SKIP + 1), F.length(text))
-    pos = F.regexp_instr(tail, F.lit(C.G7_TASK_HEAD_RE))
-    return F.when(pos > 0, pos + (C.G7_HEAD_SKIP - 1)).otherwise(F.lit(0))
+    result = F.lit(0)
+    for pat in reversed(C.G7_TASK_HEAD_PATTERNS):
+        pos = F.regexp_instr(tail, F.lit(pat))
+        result = F.when(pos > 0, pos + (C.G7_HEAD_SKIP - 1)).otherwise(result)
+    return result
 
 
 # ------------------------------------------------------ topic classifier --

@@ -2,7 +2,8 @@
 
 from pyspark.sql import functions as F
 
-from ocrspark import pyref
+from ocrspark import config as C
+from ocrspark import pyref, rules
 from ocrspark.corpus import generate_docs
 from ocrspark.merge import merge_short_tasks
 from ocrspark.segment import segment
@@ -87,8 +88,15 @@ def test_fold_chained_and_random(spark):
         "C" * 26 + " Oppgave 3 " + "D" * 10,   # short AND has late heading
         "E" * 60,                               # short -> chained stale split
     ]
+    # Pattern PRIORITY (old/taskseparation.py:44-53): "5 (A)" matches first
+    # by position, but the oppgave pattern has priority — the split must
+    # land at "Oppgave 9", not at "5 (A)".
+    priority = [
+        "P" * 26 + " 5 (A) filler " + "Q" * 40 + " Oppgave 9 " + "R" * 40,
+        "tiny",
+    ]
     rng = random.Random(7)
-    cases = [chained, [], ["single short"], ["x" * 200]]
+    cases = [chained, priority, [], ["single short"], ["x" * 200]]
     words = ["tekst", "Oppgave 4", "oppgåve 12", "3 (A)", "y" * 40, "kort"]
     for _ in range(20):
         n = rng.randint(1, 6)
@@ -107,6 +115,36 @@ def test_fold_chained_and_random(spark):
         exp_m, exp_f = pyref.g7_merge(list(r.orig))
         assert list(r.m) == exp_m, r.orig
         assert list(r.f) == exp_f, r.orig
+
+
+def test_head_pattern_priority(spark):
+    """The reference's pattern-ORDER semantics (old/taskseparation.py:44-53):
+    an earlier-position "N (A)" match loses to a later "Oppgave N" match
+    because the oppgave pattern is tried first.  Asserted against the
+    expected absolute char position in all three engines."""
+    import duckdb
+
+    from ocrspark.duckdb_oracle import sql_g7_mpos
+    from ocrspark.merge import _head_pos
+
+    t = "P" * 26 + " 5 (A) " + "Q" * 40 + " Oppgave 9 " + "R" * 40
+    want = t.index("Oppgave 9")
+    assert want > t.index("5 (A)") > C.G7_HEAD_SKIP
+    assert pyref.g7_match_pos(t) == want
+    assert _head_pos(t) == want
+    got_spark = (
+        spark.createDataFrame([(t,)], "t string")
+        .select(rules.g7_match_pos(F.col("t")).alias("p"))
+        .collect()[0].p
+    )
+    assert got_spark == want
+    got_sql = duckdb.sql(
+        f"SELECT {sql_g7_mpos('t')} AS p FROM (SELECT '{t}' AS t)"
+    ).fetchone()[0]
+    assert got_sql == want
+    # digit-paren still matches when it is the only pattern present
+    u = "x" * 30 + " 7 (B) " + "y" * 80
+    assert pyref.g7_match_pos(u) == u.index("7 (B)")
 
 
 def test_merge_order_is_numeric(spark):

@@ -76,6 +76,32 @@ def test_scaled_similarity_paths_are_equi_joins(spark):
         assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_cosine_topk_query_side_is_bounded(spark):
+    """Contract: cosine_topk's broadcast side is runtime-capped in-plan —
+    a corpus-sized query set raises instead of OOMing the broadcast — and
+    an explicit bounded `queries` DataFrame is the shipped API."""
+    import pytest
+
+    from ocrspark.ops import similarity
+
+    emb = spark.range(120).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(similarity.DIM)),
+            lambda i: F.sin(i * (F.col("id") + 1)).cast("float"),
+        ).alias("embedding"),
+    )
+    # explicit query DataFrame: results cover exactly those query ids
+    q = emb.filter(F.col("vec_id").isin(3, 7))
+    rows = similarity.cosine_topk(emb, k=2, queries=q).collect()
+    assert {r.query_id for r in rows} == {3, 7}
+    assert len(rows) == 4
+    # over-cap query set fails loudly at runtime (the guard survives
+    # Catalyst optimization — it must not be folded away)
+    with pytest.raises(Exception, match="max_queries"):
+        similarity.cosine_topk(emb, k=2, query_mod=1, max_queries=16).collect()
+
+
 def test_embedding_near_dups_recall(spark):
     """Bucketed pairs are a subset of exact pairs, with usable recall at the
     dedup-relevant threshold."""
