@@ -363,6 +363,39 @@ def _q_topk_per_group(spark, sf_dir):
     )
 
 
+def _q_catalog_shape(spark, sf_dir):
+    """S7/W6: the published catalog (exams.json outer shape) flattened to
+    one row per (subject, exam_version, task): numeric-first task ordering
+    (task_seq), the alternate-code set-merge, and first-appearance mined
+    topics — the nested map/array shape rebuilt by catalog.py, exploded so
+    the DuckDB oracle can hash it (object_handling.py:15-29,88-101,241-246).
+    """
+    from ocrspark.catalog import exams_catalog, subjects_catalog
+
+    subj = subjects_catalog(exams_catalog(extract(_docs(spark))))
+    exams = subj.select(
+        "subject",
+        F.array_join("alternate_codes", ",").alias("alternate_codes"),
+        F.array_join("topics", "|").alias("subject_topics"),
+        F.explode("exams").alias("exam_version", "exam"),
+    )
+    flat = exams.select(
+        "subject", "exam_version",
+        F.col("exam.source_subject_code").alias("source_subject_code"),
+        "alternate_codes", "subject_topics",
+        F.posexplode("exam.tasks").alias("task_seq", "t"),
+    )
+    return flat.select(
+        "subject", "exam_version", "source_subject_code",
+        "alternate_codes", "subject_topics",
+        F.col("task_seq").cast("int").alias("task_seq"),
+        F.col("t.task_number").alias("task_number"),
+        F.col("t.topic").alias("topic"),
+        F.col("t.points").alias("points"),
+        F.col("t.task_text").alias("task_text_html"),
+    )
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal stub plumbing: deterministic fake decode over media refs
     derived from the fixture's image spans (Arrow-batched mapInPandas)."""
@@ -415,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_keeplatest_orders": _q_keeplatest,
         "j2_broadcast_region_join": _q_broadcast_join,
         "w5_topk_per_group": _q_topk_per_group,
+        "s7_catalog_shape": _q_catalog_shape,
         "media_decode_stub": _q_media_features,
     }
 
@@ -828,6 +862,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rank "
             "FROM lineitem) WHERE rank <= 2"
         ),
+        "s7_catalog_shape": O.sql_catalog_shape(_fixture_rel()),
         # media_decode_stub: deliberately no oracle — the decode is a
         # deterministic fake behind real Arrow plumbing (rows-only check).
     }

@@ -88,12 +88,27 @@ def run_resumable(
             ).join(stats, "bucket", "left").fillna(
                 0, ["doc_count", "task_count", "span_count"]
             )
+            # landed_task_count = what is durably IN the store for these
+            # buckets (partition-pruned read-back), vs task_count = what was
+            # computed.  NULL = store can't verify cheaply (IcebergStore:
+            # transactional MERGE; snapshot metrics are the evidence there).
+            landed = store.landed_per_bucket(spark, group) if hasattr(
+                store, "landed_per_bucket") else None
+            if landed is not None:
+                all_rows = all_rows.join(landed, "bucket", "left").fillna(
+                    0, ["landed_task_count"]
+                )
+            else:
+                all_rows = all_rows.withColumn(
+                    "landed_task_count", F.lit(None).cast("long")
+                )
             cp = all_rows.select(
                 F.lit(run_id).alias("run_id"),
                 F.col("bucket"),
                 F.col("doc_count").cast("long"),
                 F.col("task_count").cast("long"),
                 F.col("span_count").cast("long"),
+                F.col("landed_task_count").cast("long"),
                 F.lit(input_snapshot_id).alias("input_snapshot_id"),
                 F.current_timestamp().alias("completed_at"),
             )

@@ -345,6 +345,82 @@ def sql_format_html(docs_rel: str) -> str:
 SELECT doc_id, task_number, task_text_html FROM html"""
 
 
+def sql_catalog_shape(docs_rel: str) -> str:
+    """S7/W6 catalog shape, flattened: one row per (subject, exam_version,
+    task) with the subject-level set-merges as joined strings.
+
+    Twin of ``subjects_catalog(exams_catalog(extract(...)))`` flattened by
+    ``__spark_entry__._q_catalog_shape``.  Covers the reference's
+    alternate-code set-merge (object_handling.py:88-101: sorted distinct
+    observed codes minus the canonical), the numeric-first task sort
+    (object_handling.py:241-246 ``_sort_key``: (first int, str(num)) — W6),
+    and first-appearance-ordered mined topics minus ignored (here: none).
+    task_seq is the task's 0-based position in the exam's sorted task list;
+    ties beyond (int, str) are broken by (topic, points, html) — the same
+    residual chain the Spark struct compare uses, so seq assignment agrees.
+    """
+    chain = sql_normalize_math(sql_strip_admin(sql_strip_label("merged_raw")))
+    nk = ("CASE WHEN regexp_extract(task_number, '[0-9]+') <> '' "
+          "THEN CAST(regexp_extract(task_number, '[0-9]+') AS INT) "
+          "ELSE 2147483647 END")
+    unk = _q(C.UNKNOWN_TOPIC)
+    return _recursive(f"""{sql_pipeline_ctes(docs_rel)}{sql_text_ctes()}{sql_html_ctes()},
+cfinal AS (
+  SELECT doc_id, task_number, points, {chain} AS task_text FROM texttasks
+),
+ctopic AS (
+  SELECT doc_id, task_number, {sql_topic('task_text')} AS topic FROM cfinal
+),
+t0 AS (
+  SELECT d.subject, d.exam_version, d.source_subject_code,
+         f.task_number, f.points, t.topic, h.task_text_html
+  FROM cfinal f
+  JOIN ctopic t USING (doc_id, task_number)
+  JOIN html h USING (doc_id, task_number)
+  JOIN docfields d USING (doc_id)
+),
+ordered AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY subject, exam_version
+      ORDER BY {nk}, task_number, topic, points, task_text_html) - 1 AS INT)
+    AS task_seq
+  FROM t0
+),
+exam_src AS (
+  SELECT subject, exam_version,
+         min(source_subject_code) AS source_subject_code
+  FROM t0 GROUP BY 1, 2
+),
+alt AS (
+  SELECT subject, string_agg(code, ',' ORDER BY code) AS alternate_codes
+  FROM (SELECT DISTINCT subject, source_subject_code AS code FROM exam_src
+        WHERE source_subject_code <> '' AND source_subject_code <> subject) z
+  GROUP BY subject
+),
+tfirst AS (
+  SELECT subject, exam_version, topic, min(task_seq) AS first_seq
+  FROM ordered WHERE topic <> {unk} GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT subject, topic, row_number() OVER (
+      PARTITION BY subject ORDER BY exam_version, first_seq) AS rk
+  FROM tfirst
+),
+stopics AS (
+  SELECT subject, string_agg(topic, '|' ORDER BY frk) AS subject_topics
+  FROM (SELECT subject, topic, min(rk) AS frk FROM ranked GROUP BY 1, 2) z
+  GROUP BY subject
+)
+SELECT o.subject, o.exam_version, e.source_subject_code,
+  coalesce(a.alternate_codes, '') AS alternate_codes,
+  coalesce(st.subject_topics, '') AS subject_topics,
+  o.task_seq, o.task_number, o.topic, o.points, o.task_text_html
+FROM ordered o
+JOIN exam_src e USING (subject, exam_version)
+LEFT JOIN alt a ON a.subject = o.subject
+LEFT JOIN stopics st ON st.subject = o.subject""")
+
+
 def sql_extract_tasks(docs_rel: str) -> str:
     """Task-level extraction: one row per (doc_id, task_number)."""
     return f"""{sql_pipeline_ctes(docs_rel)}

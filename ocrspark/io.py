@@ -26,6 +26,23 @@ from pyspark.sql import DataFrame, SparkSession
 EXTRACTIONS = "extractions"
 CHECKPOINTS = "checkpoints"
 
+# Target extractions schema, shared by the CREATE TABLE DDL and the
+# ALTER TABLE ADD COLUMNS reconciliation: a store created by an earlier
+# (narrower) release is widened in place instead of failing the first write.
+EXTRACTIONS_COLUMNS: list[tuple[str, str]] = [
+    ("doc_id", "string"),
+    ("subject", "string"),
+    ("exam_version", "string"),
+    ("source_subject_code", "string"),
+    ("task_number", "string"),
+    ("points", "int"),
+    ("topic", "string"),
+    ("task_text", "string"),
+    ("task_text_html", "string"),
+    ("was_merged", "boolean"),
+    ("spans", "array<struct<kind:string,text:string,media_ref:string,offset:int>>"),
+]
+
 
 def iceberg_available(spark: SparkSession, catalog: str = "ocr") -> bool:
     try:
@@ -71,6 +88,24 @@ class ParquetStore:
         except Exception:
             return None
 
+    def landed_per_bucket(self, spark: SparkSession, buckets) -> DataFrame | None:
+        """Durable row count per bucket for the just-written buckets.
+
+        `bucket` is a physical partition column here, so the scan is
+        partition-pruned to exactly the buckets written by this batch —
+        O(batch output), not a table scan.  Lets the checkpoint record what
+        LANDED, not just what was computed."""
+        try:
+            df = self.read_extractions(spark)
+        except Exception:
+            return None
+        from pyspark.sql import functions as F
+        return (
+            df.filter(F.col("bucket").isin(list(buckets)))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("landed_task_count"))
+        )
+
 
 class IcebergStore:
     """Same interface over a configured Iceberg catalog (cluster path).
@@ -93,16 +128,12 @@ class IcebergStore:
         full = f"{self.ns}.{EXTRACTIONS}"
         df = df.drop("bucket")  # Iceberg's bucket transform replaces it
         df.createOrReplaceTempView("_ocr_batch")
+        ddl_cols = ", ".join(f"{n} {t}" for n, t in EXTRACTIONS_COLUMNS)
         self.spark.sql(
-            f"""CREATE TABLE IF NOT EXISTS {full} (
-                  doc_id string, subject string, exam_version string,
-                  source_subject_code string,
-                  task_number string, points int,
-                  topic string, task_text string, task_text_html string,
-                  was_merged boolean,
-                  spans array<struct<kind:string,text:string,media_ref:string,offset:int>>)
+            f"""CREATE TABLE IF NOT EXISTS {full} ({ddl_cols})
                 USING iceberg PARTITIONED BY (bucket({self.buckets}, doc_id))"""
         )
+        self._reconcile_columns(full)
         self.spark.sql(
             f"""MERGE INTO {full} t USING _ocr_batch s
                 ON t.doc_id = s.doc_id AND t.task_number = s.task_number
@@ -110,8 +141,29 @@ class IcebergStore:
                 WHEN NOT MATCHED THEN INSERT *"""
         )
 
+    def _reconcile_columns(self, full: str) -> None:
+        """Widen a pre-existing (older-release) table to the current schema.
+
+        CREATE TABLE IF NOT EXISTS never migrates an existing table, so a
+        resume against a store created before new columns were added would
+        fail on the first MERGE.  Iceberg ADD COLUMNS is a metadata-only
+        commit (existing rows read the new columns as NULL)."""
+        existing = {f.name for f in self.spark.table(full).schema.fields}
+        missing = [(n, t) for n, t in EXTRACTIONS_COLUMNS if n not in existing]
+        if missing:
+            cols = ", ".join(f"{n} {t}" for n, t in missing)
+            self.spark.sql(f"ALTER TABLE {full} ADD COLUMNS ({cols})")
+
     def read_extractions(self, spark: SparkSession) -> DataFrame:
         return spark.table(f"{self.ns}.{EXTRACTIONS}")
+
+    def landed_per_bucket(self, spark: SparkSession, buckets) -> DataFrame | None:
+        """Unavailable here without a table scan: the Iceberg bucket is a
+        hidden partition transform (no physical bucket column to prune on),
+        and the MERGE is transactional anyway — the commit snapshot's
+        added-records metrics are the landed evidence on a real catalog.
+        Returning None records NULL landed_task_count = 'not verified'."""
+        return None
 
     def append_checkpoints(self, df: DataFrame) -> None:
         full = f"{self.ns}.{CHECKPOINTS}"

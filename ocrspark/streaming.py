@@ -47,7 +47,8 @@ def stream_extract(spark: SparkSession, input_dir: str, out_dir: str,
 SESSION_GAP_MS = 1_800_000  # 30 min, same as the batch sessionization
 
 
-def sessionize_stream(events: DataFrame, gap_ms: int = SESSION_GAP_MS):
+def sessionize_stream(events: DataFrame, gap_ms: int = SESSION_GAP_MS,
+                      late_policy: str = "clamp"):
     """Custom stateful streaming operator: per-user session numbering via
     ``applyInPandasWithState`` (the sanctioned stateful-UDF surface).
 
@@ -56,21 +57,35 @@ def sessionize_stream(events: DataFrame, gap_ms: int = SESSION_GAP_MS):
     ``w2`` sessionization (gap > 30 min opens a new session).  The batch
     inside the group is vectorized numpy (no per-row Python loop).
 
-    Ordering contract: per-user event time must be non-decreasing ACROSS
-    micro-batches (within a batch the group is sorted here).  Production
-    would pair this with a watermark-delayed source so late events land in
-    the right batch; the bounded test drives files in mtime order.
+    Out-of-order input is OBSERVABLE, never silently misnumbered: an event
+    arriving in a later micro-batch with ms < state.last_ms is late, flagged
+    ``is_late`` in the output, and handled per ``late_policy``:
+
+    * ``"clamp"`` (default): the late event's time is clamped to the state
+      floor, so it joins the session that was active at state.last_ms and
+      the state never regresses (the pre-fix behavior regressed last_ms,
+      corrupting subsequent gap computation).
+    * ``"drop"``: late events are dead-lettered — emitted with
+      ``session_seq = -1`` and excluded from numbering and state.
+
+    Events that arrive in the correct micro-batch are never late (within a
+    batch the group is sorted here); production pairs this with a
+    watermark-delayed source to bound how late an event can be.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql import types as T
 
+    if late_policy not in ("clamp", "drop"):
+        raise ValueError(f"late_policy must be clamp|drop, got {late_policy!r}")
+
     out_schema = T.StructType([
         T.StructField("user_id", T.LongType()),
         T.StructField("event_id", T.LongType()),
         T.StructField("ms", T.LongType()),
         T.StructField("session_seq", T.LongType()),
+        T.StructField("is_late", T.BooleanType()),
     ])
     state_schema = T.StructType([
         T.StructField("last_ms", T.LongType()),
@@ -81,23 +96,40 @@ def sessionize_stream(events: DataFrame, gap_ms: int = SESSION_GAP_MS):
         last_ms, seq = state.get if state.exists else (None, 0)
         rows = pd.concat(list(pdfs)).sort_values(["ms", "event_id"])
         ms = rows["ms"].to_numpy()
-        if len(ms):
+        if not len(ms):
+            return
+        floor = last_ms  # None on first sight of the user
+        late = ms < floor if floor is not None else np.zeros(len(ms), bool)
+        min_sentinel = np.iinfo(np.int64).min // 2
+
+        def _number(xs, first_is_new_user):
             prev = np.concatenate(
-                [[last_ms if last_ms is not None else np.iinfo(np.int64).min // 2],
-                 ms[:-1]]
+                [[floor if floor is not None else min_sentinel], xs[:-1]]
             )
-            new = (ms - prev) > gap_ms
-            if last_ms is None:
+            new = (xs - prev) > gap_ms
+            if first_is_new_user:
                 new[0] = True
-            seqs = seq + np.cumsum(new.astype(np.int64))
-            state.update((int(ms[-1]), int(seqs[-1])))
-            out = pd.DataFrame({
-                "user_id": np.int64(key[0]),
-                "event_id": rows["event_id"].to_numpy(),
-                "ms": ms,
-                "session_seq": seqs,
-            })
-            yield out
+            return seq + np.cumsum(new.astype(np.int64))
+
+        if late_policy == "drop":
+            keep = ~late
+            seqs = np.full(len(ms), -1, dtype=np.int64)
+            ms_k = ms[keep]
+            if len(ms_k):
+                seqs_k = _number(ms_k, floor is None)
+                state.update((int(ms_k[-1]), int(seqs_k[-1])))
+                seqs[keep] = seqs_k
+        else:  # clamp: late events join the session active at the floor
+            ms_eff = np.maximum(ms, floor) if floor is not None else ms
+            seqs = _number(ms_eff, floor is None)
+            state.update((int(ms_eff[-1]), int(seqs[-1])))
+        yield pd.DataFrame({
+            "user_id": np.int64(key[0]),
+            "event_id": rows["event_id"].to_numpy(),
+            "ms": ms,
+            "session_seq": seqs,
+            "is_late": late,
+        })
 
     prepared = events.select(
         F.col("user_id").cast("long"),

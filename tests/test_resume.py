@@ -61,9 +61,70 @@ def test_checkpoint_lineage_and_metrics(spark, tmp_path):
     assert all(r.run_id == "run-1" for r in rows)
     assert all(r.input_snapshot_id == "snapshot-abc" for r in rows)
     assert all(r.completed_at is not None for r in rows)
+    # landed counts (durable read-back) match computed counts per bucket
+    assert all(r.landed_task_count == r.task_count for r in rows)
     # metrics reconcile with the stored table
     ext = store.read_extractions(spark)
     assert sum(r.task_count for r in rows) == ext.count()
     assert sum(r.span_count for r in rows) == ext.select(
         F.sum(F.size("spans"))).collect()[0][0]
     assert sum(r.doc_count for r in rows) == ext.select("doc_id").distinct().count()
+
+
+def _iceberg_jar():
+    import glob
+    import os
+    jar = os.environ.get("ICEBERG_JAR")
+    if jar and os.path.exists(jar):
+        return jar
+    hits = glob.glob(
+        os.path.join(os.path.dirname(__file__), "..", "dist", "jars",
+                     "iceberg-spark-runtime-*.jar")
+    )
+    return hits[0] if hits else None
+
+
+def test_iceberg_store_roundtrip(tmp_path):
+    """IcebergStore end-to-end: CREATE + MERGE INTO upsert + ADD COLUMNS
+    migration + resume.  Requires the iceberg-spark-runtime jar
+    (scripts/fetch_iceberg.sh — no network in this sandbox, so this is a
+    clean skip until the jar is vendored into dist/jars)."""
+    import pytest
+
+    jar = _iceberg_jar()
+    if jar is None:
+        pytest.skip("iceberg-spark-runtime jar absent; run scripts/fetch_iceberg.sh")
+
+    from pyspark.sql import SparkSession
+
+    from ocrspark.io import IcebergStore
+
+    # dedicated session: jars + catalog conf must be set before the JVM starts
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("iceberg-roundtrip")
+        .config("spark.jars", jar)
+        .config("spark.sql.catalog.ocr", "org.apache.iceberg.spark.SparkCatalog")
+        .config("spark.sql.catalog.ocr.type", "hadoop")
+        .config("spark.sql.catalog.ocr.warehouse", str(tmp_path / "wh"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    try:
+        docs = generate_docs(spark, 12, seed=9)
+        store = IcebergStore(spark, buckets=8)
+        r = run_resumable(spark, docs, store, buckets=4, batches=2)
+        assert set(r["buckets_done"]) == set(range(4))
+        ext = store.read_extractions(spark)
+        clean = _canon(extract(docs))
+        assert _canon(ext).exceptAll(clean).count() == 0
+        assert ext.count() == clean.count() > 0
+        # idempotent MERGE: second run over same docs keeps the row count
+        store.write_extractions(extract(docs))
+        assert store.read_extractions(spark).count() == clean.count()
+        # checkpoint rows recorded NULL landed (MERGE is transactional)
+        cps = store.read_checkpoints(spark)
+        assert all(row.landed_task_count is None for row in cps.collect())
+    finally:
+        spark.stop()

@@ -107,3 +107,62 @@ def test_windowed_event_counts_streaming(spark, tmp_path):
     # drain the final (max-ts) windows stay open — totals are a lower bound
     got = spark.sql("select sum(n_events) s from wincounts").collect()[0].s
     assert got is None or got <= events.count()
+
+
+def _drive_two_batches(spark, tmp_path, batches, name, **kw):
+    """Write each batch as one parquet file with increasing mtime, drain with
+    maxFilesPerTrigger=1 (one micro-batch per file), return output rows."""
+    import time
+
+    in_dir = tmp_path / f"{name}_in"
+    in_dir.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+        tmp = tmp_path / f"{name}_b{i}"
+        df.coalesce(1).write.parquet(str(tmp))
+        src = next(p for p in tmp.iterdir() if p.name.endswith(".parquet"))
+        dst = in_dir / f"{i}.parquet"
+        src.rename(dst)
+        os.utime(dst, (2_000_000 + i * 1000, 2_000_000 + i * 1000))
+    schema = "user_id long, event_id long, ts timestamp"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(in_dir)))
+    q = (sessionize_stream(stream, **kw).writeStream.format("memory")
+         .queryName(name).outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return {r.event_id: r for r in spark.table(name).collect()}
+
+
+def test_sessionize_stream_late_events(spark, tmp_path):
+    """An event arriving in a LATER micro-batch with ms < state.last_ms must
+    be flagged, never silently misnumbered (the pre-fix behavior regressed
+    state.last_ms and folded the late event in with no trace)."""
+    from datetime import datetime, timezone
+
+    def t(minutes):
+        return datetime.fromtimestamp(minutes * 60, tz=timezone.utc)
+
+    # batch 0: events at minute 10 and 20 (one session);
+    # batch 1: LATE event at minute 5, then minute 60 (gap 40 > 30 -> new
+    # session) — all for user 1
+    batches = [
+        [(1, 100, t(10)), (1, 101, t(20))],
+        [(1, 102, t(5)), (1, 103, t(60))],
+    ]
+
+    # clamp: late event joins the session active at the state floor (seq 1),
+    # is_late=True; state does not regress so event 103 opens session 2
+    got = _drive_two_batches(spark, tmp_path, batches, "sess_clamp",
+                             late_policy="clamp")
+    assert {k: (v.session_seq, v.is_late) for k, v in got.items()} == {
+        100: (1, False), 101: (1, False), 102: (1, True), 103: (2, False),
+    }
+
+    # drop: late event dead-lettered with session_seq=-1, excluded from
+    # numbering and state
+    got = _drive_two_batches(spark, tmp_path, batches, "sess_drop",
+                             late_policy="drop")
+    assert {k: (v.session_seq, v.is_late) for k, v in got.items()} == {
+        100: (1, False), 101: (1, False), 102: (-1, True), 103: (2, False),
+    }
