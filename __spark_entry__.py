@@ -397,8 +397,13 @@ def _q_catalog_shape(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
-    """Multimodal stub plumbing: deterministic fake decode over media refs
-    derived from the fixture's image spans (Arrow-batched mapInPandas)."""
+    """Multimodal decode plumbing, payload-fed end to end: a deterministic
+    binary payload table (media_ref, payload) — payload = unhex(repeat(
+    md5(ref), k)), k in 1..7 — is joined from the fixture's image refs and
+    pushed through the Arrow-batched ``mapInPandas`` decode, so ``n_bytes``
+    measures REAL bytes that crossed the Arrow boundary (not a NULL feed).
+    The decode itself stays the documented deterministic fake
+    (sha256-derived dims/features); ``real_decode`` is the codec seam."""
     refs = (
         _docs(spark)
         .select(F.explode("spans").alias("s"))
@@ -406,10 +411,18 @@ def _q_media_features(spark, sf_dir):
         .select(F.col("s.media_ref").alias("media_ref"))
         .distinct()
     )
-    feats = media.extract_media_features(refs, decoder=media.fake_decode)
+    payloads = refs.select(
+        "media_ref",
+        F.expr(
+            "unhex(repeat(md5(media_ref), "
+            "cast(conv(substring(md5(media_ref), 1, 2), 16, 10) as int) % 7 + 1))"
+        ).alias("payload"),
+    )
+    feats = media.extract_media_features(payloads, decoder=media.fake_decode)
     return feats.select(
-        "media_ref", "width", "height",
-        (F.element_at("feature", 1) * 255).cast("int").alias("f0"),
+        "media_ref", "width", "height", "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double") * 255)
+        .cast("int").alias("f0"),
     )
 
 
@@ -449,7 +462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_broadcast_region_join": _q_broadcast_join,
         "w5_topk_per_group": _q_topk_per_group,
         "s7_catalog_shape": _q_catalog_shape,
-        "media_decode_stub": _q_media_features,
+        "media_decode_features": _q_media_features,
     }
 
 
@@ -788,6 +801,29 @@ SELECT user_id, session_seq, count(*) AS n_events,
 FROM s GROUP BY user_id, session_seq"""
 
 
+def _sql_media_features() -> str:
+    """DuckDB twin of the payload-fed fake decode: dims/feature from
+    sha256(media_ref) bytes, n_bytes = 16 * k (payload = k md5 repeats)."""
+    byte = "CAST(('0x' || substr({h}, {p}, 2)) AS INT)"
+    return f"""
+WITH refs AS (
+  SELECT DISTINCT u.s.media_ref AS media_ref
+  FROM {_fixture_rel()} t, LATERAL UNNEST(t.spans) AS u(s)
+  WHERE u.s.kind = 'image'
+),
+h AS (
+  SELECT media_ref, sha256(media_ref) AS hx,
+         ({byte.format(h="md5(media_ref)", p=1)} % 7) + 1 AS k
+  FROM refs
+)
+SELECT media_ref,
+  ({byte.format(h="hx", p=1)} % 64 + 1) * 32 AS width,
+  ({byte.format(h="hx", p=3)} % 64 + 1) * 32 AS height,
+  CAST(16 * k AS BIGINT) AS n_bytes,
+  {byte.format(h="hx", p=5)} AS f0
+FROM h"""
+
+
 def oracle_sql() -> dict[str, str]:
     tasks_sql = O.sql_extract_tasks(_fixture_rel())
     return {
@@ -863,6 +899,5 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem) WHERE rank <= 2"
         ),
         "s7_catalog_shape": O.sql_catalog_shape(_fixture_rel()),
-        # media_decode_stub: deliberately no oracle — the decode is a
-        # deterministic fake behind real Arrow plumbing (rows-only check).
+        "media_decode_features": _sql_media_features(),
     }

@@ -20,8 +20,9 @@ def test_queries_oracle_alignment():
     q = E.queries()
     o = E.oracle_sql()
     assert set(o) <= set(q)
-    # exactly one deliberate rows-only entry (the multimodal decode stub)
-    assert set(q) - set(o) == {"media_decode_stub"}
+    # every query is oracle-backed (the media decode went payload-fed +
+    # oracled in round 3; real_decode stays the documented codec seam)
+    assert set(q) - set(o) == set()
     assert len(q) >= 20
 
 

@@ -142,3 +142,37 @@ def test_whole_stage_codegen_present(spark):
     df.collect()  # finalize AQE so codegen ids ("*(n)") appear
     plan = _plan(df)
     assert plan.count("*(") > 0
+
+
+def test_media_decode_arrow_batch_cap(spark):
+    """The payload decode must be batch-shape independent: driving 3000
+    payload rows through mapInPandas with a tiny Arrow batch cap (forcing
+    many batches) yields byte-identical features to the direct pandas call."""
+    import pandas as pd
+
+    from ocrspark.ops import media
+
+    refs = spark.range(3000).select(
+        F.concat(F.lit("media/img_"), F.col("id")).alias("media_ref"),
+        F.expr("unhex(repeat(md5(concat('media/img_', id)), "
+               "cast(id % 5 + 1 as int)))").alias("payload"),
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
+    try:
+        got = {
+            r.media_ref: (r.width, r.height, r.n_bytes, tuple(r.feature))
+            for r in media.extract_media_features(refs).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    pdf = refs.toPandas()
+    exp_df = media.fake_decode(pdf["media_ref"], pdf["payload"])
+    exp = {
+        r.media_ref: (r.width, r.height, r.n_bytes, tuple(r.feature))
+        for r in exp_df.itertuples()
+    }
+    assert len(got) == 3000
+    assert got == exp
+    # n_bytes really measured the payload that crossed the Arrow boundary
+    assert {v[2] for v in got.values()} == {16 * k for k in range(1, 6)}
