@@ -265,6 +265,34 @@ def _q_topic_enum(spark, sf_dir):
     )
 
 
+def _q_topic_enum_subject(spark, sf_dir):
+    """J3 per-SUBJECT enum: the reference's topic enum is per subject
+    (scripts/task_processing.py:80-87 builds it from the subject's
+    exams.json topics).  Here the enum table is derived from the catalog's
+    own first-appearance-ordered topics per subject (exactly the exams.json
+    topics array) and broadcast-joined back onto the tasks; topics outside
+    the subject's enum (UNKNOWN) resolve to id 0 (:105-107)."""
+    from ocrspark.catalog import exams_catalog, subjects_catalog
+
+    ext = extract(_docs(spark))
+    subj = subjects_catalog(exams_catalog(ext))
+    enum = subj.select(
+        "subject", F.posexplode("topics").alias("pos", "topic")
+    ).select(
+        "subject", (F.col("pos") + 1).cast("int").alias("topic_id"), "topic"
+    )
+    return (
+        ext.join(F.broadcast(enum), ["subject", "topic"], "left")
+        .select(
+            "subject",
+            F.coalesce("topic_id", F.lit(0)).cast("int").alias("topic_id"),
+            "topic",
+        )
+        .groupBy("subject", "topic_id", "topic")
+        .agg(F.count(F.lit(1)).alias("n_tasks"))
+    )
+
+
 def _q_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(_tbl(spark, sf_dir, "embeddings"))
 
@@ -452,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "p16_code_detect": _q_code_detect,
         "j3_topic_enum": _q_topic_enum,
+        "j3_topic_enum_subject": _q_topic_enum_subject,
         "ann_cosine_topk": _q_cosine_topk,
         "ann_lsh_buckets": _q_lsh_buckets,
         "ann_lsh_search": _q_lsh_search,
@@ -801,6 +830,22 @@ SELECT user_id, session_seq, count(*) AS n_events,
 FROM s GROUP BY user_id, session_seq"""
 
 
+def _sql_topic_enum_subject() -> str:
+    """Per-subject enum twin: enum ids from the catalog's first-appearance
+    topic order per subject, left-joined onto the tasks (unknown -> 0)."""
+    return O._recursive(f"""{O.sql_catalog_ctes(_fixture_rel())},
+enum AS (
+  SELECT subject, topic,
+         CAST(row_number() OVER (PARTITION BY subject ORDER BY frk) AS INT)
+           AS topic_id
+  FROM firsts
+)
+SELECT t.subject, coalesce(e.topic_id, 0) AS topic_id, t.topic,
+       count(*) AS n_tasks
+FROM t0 t LEFT JOIN enum e ON e.subject = t.subject AND e.topic = t.topic
+GROUP BY 1, 2, 3""")
+
+
 def _sql_media_features() -> str:
     """DuckDB twin of the payload-fed fake decode: dims/feature from
     sha256(media_ref) bytes, n_bytes = 16 * k (payload = k md5 repeats)."""
@@ -869,6 +914,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "j3_topic_enum": _sql_topic_enum(),
+        "j3_topic_enum_subject": _sql_topic_enum_subject(),
         "ann_cosine_topk": _sql_cosine_topk(),
         "ann_lsh_buckets": _sql_lsh_buckets(),
         "ann_lsh_search": _sql_lsh_search(),

@@ -345,26 +345,18 @@ def sql_format_html(docs_rel: str) -> str:
 SELECT doc_id, task_number, task_text_html FROM html"""
 
 
-def sql_catalog_shape(docs_rel: str) -> str:
-    """S7/W6 catalog shape, flattened: one row per (subject, exam_version,
-    task) with the subject-level set-merges as joined strings.
-
-    Twin of ``subjects_catalog(exams_catalog(extract(...)))`` flattened by
-    ``__spark_entry__._q_catalog_shape``.  Covers the reference's
-    alternate-code set-merge (object_handling.py:88-101: sorted distinct
-    observed codes minus the canonical), the numeric-first task sort
-    (object_handling.py:241-246 ``_sort_key``: (first int, str(num)) — W6),
-    and first-appearance-ordered mined topics minus ignored (here: none).
-    task_seq is the task's 0-based position in the exam's sorted task list;
-    ties beyond (int, str) are broken by (topic, points, html) — the same
-    residual chain the Spark struct compare uses, so seq assignment agrees.
-    """
+def sql_catalog_ctes(docs_rel: str) -> str:
+    """Shared catalog CTE chain (pipeline + G7 walk + topic + html +
+    per-exam ordering + subject-level set-merges).  Exposes:
+    ``ordered`` (tasks with task_seq), ``exam_src``, ``alt``, ``firsts``
+    (per-subject topic first-appearance rank), ``stopics``.
+    Callers must wrap with ``_recursive``."""
     chain = sql_normalize_math(sql_strip_admin(sql_strip_label("merged_raw")))
     nk = ("CASE WHEN regexp_extract(task_number, '[0-9]+') <> '' "
           "THEN CAST(regexp_extract(task_number, '[0-9]+') AS INT) "
           "ELSE 2147483647 END")
     unk = _q(C.UNKNOWN_TOPIC)
-    return _recursive(f"""{sql_pipeline_ctes(docs_rel)}{sql_text_ctes()}{sql_html_ctes()},
+    return f"""{sql_pipeline_ctes(docs_rel)}{sql_text_ctes()}{sql_html_ctes()},
 cfinal AS (
   SELECT doc_id, task_number, points, {chain} AS task_text FROM texttasks
 ),
@@ -406,11 +398,30 @@ ranked AS (
       PARTITION BY subject ORDER BY exam_version, first_seq) AS rk
   FROM tfirst
 ),
+firsts AS (
+  SELECT subject, topic, min(rk) AS frk FROM ranked GROUP BY 1, 2
+),
 stopics AS (
   SELECT subject, string_agg(topic, '|' ORDER BY frk) AS subject_topics
-  FROM (SELECT subject, topic, min(rk) AS frk FROM ranked GROUP BY 1, 2) z
-  GROUP BY subject
-)
+  FROM firsts GROUP BY subject
+)"""
+
+
+def sql_catalog_shape(docs_rel: str) -> str:
+    """S7/W6 catalog shape, flattened: one row per (subject, exam_version,
+    task) with the subject-level set-merges as joined strings.
+
+    Twin of ``subjects_catalog(exams_catalog(extract(...)))`` flattened by
+    ``__spark_entry__._q_catalog_shape``.  Covers the reference's
+    alternate-code set-merge (object_handling.py:88-101: sorted distinct
+    observed codes minus the canonical), the numeric-first task sort
+    (object_handling.py:241-246 ``_sort_key``: (first int, str(num)) — W6),
+    and first-appearance-ordered mined topics minus ignored (here: none).
+    task_seq is the task's 0-based position in the exam's sorted task list;
+    ties beyond (int, str) are broken by (topic, points, html) — the same
+    residual chain the Spark struct compare uses, so seq assignment agrees.
+    """
+    return _recursive(f"""{sql_catalog_ctes(docs_rel)}
 SELECT o.subject, o.exam_version, e.source_subject_code,
   coalesce(a.alternate_codes, '') AS alternate_codes,
   coalesce(st.subject_topics, '') AS subject_topics,

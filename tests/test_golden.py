@@ -30,6 +30,17 @@ GOLDEN_TOPICS = [
 ]
 # tasks where the reference's own LLM label matches the lexicon topic
 GOLDEN_REF_AGREEMENT = 9
+# per-task disagreement census vs exams.json (task_number -> (lexicon, ref));
+# task 16 has no catalog row at all (the reference's V24 entry stops at 15).
+GOLDEN_REF_DISAGREE = {
+    "1": ("Kinematikk", "Fluidmekanikk"),     # unit conversion of accel.
+    "5": ("Kinematikk", "Dynamikk"),
+    "8": ("Rotasjonsdynamikk", "Dynamikk"),   # moment of inertia
+    "10": ("Rotasjonsdynamikk", "Dynamikk"),  # rolling cylinder
+    "11": ("Fluidmekanikk", "Dynamikk"),      # buoyancy of a floating cube
+    "15": ("Bølgefysikk", "Svingninger"),
+    "16": ("Bølgefysikk", None),              # absent from the catalog
+}
 
 
 def test_pyref_golden_shape(golden, golden_spans):
@@ -66,6 +77,12 @@ def test_pyref_golden_topics_html_merge(golden, golden_spans):
         1 for t in out.tasks if ref_topics.get(t.task_number) == t.topic
     )
     assert agree >= GOLDEN_REF_AGREEMENT
+    # the disagreement set is pinned per task, not just counted
+    disagree = {
+        t.task_number: (t.topic, ref_topics.get(t.task_number))
+        for t in out.tasks if ref_topics.get(t.task_number) != t.topic
+    }
+    assert disagree == GOLDEN_REF_DISAGREE
     # P13 html: <p>-paragraph body + exact points trailer, inline points gone
     for t in out.tasks:
         assert t.task_text_html.endswith(f"<p>Maks poeng: {t.points}</p>")

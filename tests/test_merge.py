@@ -153,3 +153,37 @@ def test_merge_order_is_numeric(spark):
     df = spark.createDataFrame(rows, "doc_id string, task_number string, task_text string")
     out = merge_short_tasks(df)
     assert {r.task_number for r in out.collect()} == {"1", "9", "10", "11"}
+
+
+def test_g7_span_contract(spark):
+    """FIXTURES.md section 4.1 pinned contract: the G7 merge moves TEXT only.
+    Toggling merge changes task_text (+ derived html/topic/was_merged) but
+    the spans column is byte-identical — spans always carry the pre-merge
+    marker-based segmentation, and post-merge texts are exactly
+    pyref.g7_merge(pre-merge texts)."""
+    from ocrspark.pipeline import extract
+
+    docs = generate_docs(spark, 60, seed=21)
+    on = extract(docs, merge=True).select(
+        "doc_id", "task_number", "task_text", "was_merged",
+        F.to_json("spans").alias("sj")).collect()
+    off = extract(docs, merge=False).select(
+        "doc_id", "task_number", "task_text",
+        F.to_json("spans").alias("sj")).collect()
+    on_by_key = {(r.doc_id, r.task_number): r for r in on}
+    off_by_key = {(r.doc_id, r.task_number): r for r in off}
+    assert on_by_key.keys() == off_by_key.keys()
+    assert any(r.was_merged for r in on)  # the corpus exercises G7
+
+    # 1. spans identical regardless of merge — for EVERY task
+    for k, r in on_by_key.items():
+        assert r.sj == off_by_key[k].sj, k
+    # 2. merged tasks really have rewritten text (the contrast is real)
+    assert any(
+        r.was_merged and r.task_text != off_by_key[k].task_text
+        for k, r in on_by_key.items()
+    )
+    # 3. unmerged tasks keep their text
+    for k, r in on_by_key.items():
+        if not r.was_merged:
+            assert r.task_text == off_by_key[k].task_text, k
