@@ -99,12 +99,37 @@ def main() -> None:
         "text_stats": lambda: textstats.quality_score(tbl("documents"))
         .join(textstats.token_stats(tbl("documents")), "doc_id").count(),
     }
+    if os.environ.get("SPARK_GRAFT_DISAGG"):
+        # r1-equivalent plan: sink only the round-1 output column families so
+        # Catalyst prunes the round-2 work (topic/html/G7) — isolates "new
+        # work per doc" from host noise in one warm session
+        queries["extract_r1_columns"] = lambda: extract(docs).agg(
+            F.sum(F.size("spans")).alias("n_spans"),
+            F.sum("points").alias("points_total"),
+        ).collect()
 
-    timings: dict[str, float] = {}
-    for name, fn in queries.items():
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+    # ROUNDS interleaved passes; per-query median + spread.  Each lambda
+    # rebuilds its DataFrame (a re-collected identical plan can serve cached
+    # results on Spark 4.1); single runs on this shared VM swing +/-40%, so
+    # one-run-per-query ordering artifacts (round-2's extract-vs-arrow
+    # inversion) are medianed away instead of explained away.
+    ROUNDS = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
+    runs: dict[str, list[float]] = {name: [] for name in queries}
+    for _ in range(ROUNDS):
+        for name, fn in queries.items():
+            t0 = time.time()
+            fn()
+            runs[name].append(round(time.time() - t0, 3))
+
+    def median(xs):
+        s = sorted(xs)
+        return s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
+
+    timings = {name: round(median(xs), 3) for name, xs in runs.items()}
+    spread = {
+        name: round(100.0 * (max(xs) - min(xs)) / max(median(xs), 1e-9), 1)
+        for name, xs in runs.items()
+    }
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -112,6 +137,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_runs": runs,
+        "queries_spread_pct": spread,
+        "rounds": ROUNDS,
         "sf": sf,
         "n_docs": n_docs,
         "parallelism": cpus,
