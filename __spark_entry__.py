@@ -310,6 +310,80 @@ def _q_embedding_near_dups(spark, sf_dir):
                                           threshold=0.4)
 
 
+def _q_ngram_jaccard(spark, sf_dir):
+    """Sketch-free n-gram Jaccard dedup (rare-shingle candidate join)."""
+    return dedup.ngram_jaccard_dedup(_tbl(spark, sf_dir, "documents"),
+                                     threshold=0.2)
+
+
+def _q_ivf_topk(spark, sf_dir):
+    """IVF ANN: deterministic coarse cells -> inverted lists -> n_probe scan."""
+    return similarity.ivf_topk(_tbl(spark, sf_dir, "embeddings"))
+
+
+def _q_tfidf_topterms(spark, sf_dir):
+    """Top-5 tf-idf keywords per document (corpus-curation surface)."""
+    return textstats.tfidf_topterms(_tbl(spark, sf_dir, "documents"))
+
+
+def _q_curate_split(spark, sf_dir):
+    """Deterministic hash-bucket train/val/test assignment."""
+    from ocrspark.ops import sampling
+
+    return sampling.deterministic_split(_tbl(spark, sf_dir, "documents"))
+
+
+def _q_curate_pack(spark, sf_dir):
+    """Concat-and-chunk token packing into fixed-budget shards."""
+    from ocrspark.ops import sampling
+
+    docs = _tbl(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.regexp_count(F.col("text"), F.lit(r"\S+"))
+    )
+    return sampling.pack_shards(docs)
+
+
+def _q_dedup_components(spark, sf_dir):
+    """Near-dup pairs -> connected components -> canonical keeper per doc."""
+    pairs = dedup.ngram_jaccard_dedup(_tbl(spark, sf_dir, "documents"),
+                                      threshold=0.2).select("doc1", "doc2")
+    return dedup.components(pairs)
+
+
+def _q_curate_corpus(spark, sf_dir):
+    """End-to-end curation composite: quality gate -> exact-dup keeper ->
+    near-dup component keeper -> deterministic split.  The full
+    training-corpus keep-list as ONE declarative plan (each stage is the
+    already-oracled operator; composition is three equi-joins and one
+    anti-join on doc_id)."""
+    from ocrspark.ops import sampling
+
+    docs = _tbl(spark, sf_dir, "documents")
+    quality = (
+        textstats.quality_score(docs)
+        .filter(F.col("quality_bp") >= 5000).select("doc_id")
+    )
+    keep_exact = (
+        textstats.fingerprint(docs)
+        .join(dedup.exact_groups(docs).select("fp", "keep_doc_id"), "fp")
+        .filter(F.col("doc_id") == F.col("keep_doc_id"))
+        .select("doc_id")
+    )
+    pairs = dedup.ngram_jaccard_dedup(docs, threshold=0.2).select("doc1", "doc2")
+    dropped = (
+        dedup.components(pairs)
+        .filter(F.col("doc_id") != F.col("rep_id"))
+        .select("doc_id")
+    )
+    return (
+        docs.select("doc_id")
+        .join(quality, "doc_id")
+        .join(keep_exact, "doc_id")
+        .join(dropped, "doc_id", "left_anti")
+        .join(sampling.deterministic_split(docs), "doc_id")
+    )
+
+
 def _q_sessionize_events(spark, sf_dir):
     # parquet ts arrives as TIMESTAMP_NTZ; gaps are shift-invariant so the
     # LTZ cast (session-tz interpretation) cannot change session boundaries
@@ -478,6 +552,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": _q_quality,
         "text_token_stats": _q_tokens,
         "text_fingerprint": _q_fingerprint,
+        "text_tfidf_topterms": _q_tfidf_topterms,
+        "curate_split": _q_curate_split,
+        "curate_pack_shards": _q_curate_pack,
+        "curate_corpus": _q_curate_corpus,
         "p16_code_detect": _q_code_detect,
         "j3_topic_enum": _q_topic_enum,
         "j3_topic_enum_subject": _q_topic_enum_subject,
@@ -485,6 +563,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": _q_lsh_buckets,
         "ann_lsh_search": _q_lsh_search,
         "dedup_embedding_cosine": _q_embedding_near_dups,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_components": _q_dedup_components,
+        "ann_ivf_topk": _q_ivf_topk,
         "w2_sessionize_events": _q_sessionize_events,
         "w1_windowed_event_counts": _q_windowed_counts,
         "j4_keeplatest_orders": _q_keeplatest,
@@ -602,6 +683,122 @@ FROM inter JOIN counts c1 ON c1.doc_id = doc1 JOIN counts c2 ON c2.doc_id = doc2
 WHERE floor(n_inter * 10000 / (c1.n + c2.n - n_inter)) >= 2000"""
 
 
+def _sql_ngram_jaccard() -> str:
+    """Twin of dedup.ngram_jaccard_dedup: rare-shingle candidates
+    (df in [2, MAX_DF]) -> exact Jaccard verify at threshold 0.2."""
+    return f"""{_SHINGLE_CTES},
+rare AS (
+  SELECT doc_id, shingle FROM shh
+  QUALIFY count(*) OVER (PARTITION BY shingle) BETWEEN 2 AND {dedup.MAX_DF}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM rare a JOIN rare b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT p.doc1, p.doc2, count(*) AS n_inter
+  FROM pairs p
+  JOIN shh s1 ON s1.doc_id = p.doc1
+  JOIN shh s2 ON s2.doc_id = p.doc2 AND s2.shingle = s1.shingle
+  GROUP BY p.doc1, p.doc2
+),
+counts AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id)
+SELECT doc1, doc2,
+  CAST(floor(n_inter * 10000 / (c1.n + c2.n - n_inter)) AS BIGINT) AS jaccard_bp
+FROM inter JOIN counts c1 ON c1.doc_id = doc1 JOIN counts c2 ON c2.doc_id = doc2
+WHERE floor(n_inter * 10000 / (c1.n + c2.n - n_inter)) >= 2000"""
+
+
+def _components_ctes() -> str:
+    """CTE chain: shingles -> rare-shingle pairs -> recursive reachability
+    -> labels (node, lab=min reachable doc_id).  Recursive UNION dedups
+    rows, so cycles terminate."""
+    shingle_ctes = _SHINGLE_CTES.replace("WITH w AS", "WITH RECURSIVE w AS")
+    return f"""{shingle_ctes},
+rare AS (
+  SELECT doc_id, shingle FROM shh
+  QUALIFY count(*) OVER (PARTITION BY shingle) BETWEEN 2 AND {dedup.MAX_DF}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM rare a JOIN rare b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT p.doc1, p.doc2, count(*) AS n_inter
+  FROM cand p
+  JOIN shh s1 ON s1.doc_id = p.doc1
+  JOIN shh s2 ON s2.doc_id = p.doc2 AND s2.shingle = s1.shingle
+  GROUP BY p.doc1, p.doc2
+),
+counts AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+pairs AS (
+  SELECT doc1, doc2
+  FROM inter JOIN counts c1 ON c1.doc_id = doc1 JOIN counts c2 ON c2.doc_id = doc2
+  WHERE floor(n_inter * 10000 / (c1.n + c2.n - n_inter)) >= 2000
+),
+edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION SELECT doc2, doc1 FROM pairs
+),
+reach(node, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+),
+labels AS (SELECT node, min(lab) AS lab FROM reach GROUP BY node)"""
+
+
+def _sql_dedup_components() -> str:
+    """Twin of dedup.components over the ngram-jaccard pairs."""
+    return f"""{_components_ctes()},
+sizes AS (SELECT lab, count(*) AS cluster_size FROM labels GROUP BY lab)
+SELECT node AS doc_id, labels.lab AS rep_id, cluster_size
+FROM labels JOIN sizes USING (lab)"""
+
+
+def _sql_curate_corpus() -> str:
+    """Twin of the end-to-end curation composite: quality gate AND
+    exact-dup keeper AND NOT near-dup non-representative, with the split
+    assignment joined on."""
+    return f"""{_components_ctes()},
+canon AS (SELECT doc_id, md5({_CANON}) AS fp FROM documents),
+keep_exact AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM canon
+  ) WHERE doc_id = keeper
+),
+qual AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+      CAST(round((
+        CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 0.4 ELSE 0.0 END
+        + CASE WHEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+               / greatest(length(text), 1) < 0.2 THEN 0.3 ELSE 0.0 END
+        + least(len(regexp_extract_all(lower(text), '{_EN}'))::DOUBLE
+               / greatest(len(regexp_extract_all(text, '\\S+')), 1) * 3.0, 0.3)
+      ) * 10000) AS BIGINT) AS quality_bp
+    FROM documents
+  ) WHERE quality_bp >= 5000
+),
+dropped AS (SELECT node AS doc_id FROM labels WHERE node <> lab),
+sp AS (
+  SELECT doc_id,
+    CASE WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 12)) AS BIGINT) % 10000 < 9800 THEN 'train'
+         WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 12)) AS BIGINT) % 10000 < 9900 THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+)
+SELECT d.doc_id, sp.split
+FROM documents d
+JOIN keep_exact USING (doc_id)
+JOIN qual USING (doc_id)
+JOIN sp USING (doc_id)
+LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+WHERE dr.doc_id IS NULL"""
+
+
 def _sql_simhash() -> str:
     sums = ", ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
@@ -698,6 +895,69 @@ def _sql_fingerprint() -> str:
     return f"SELECT doc_id, md5({_CANON}) AS fp FROM documents"
 
 
+def _sql_curate_split() -> str:
+    """Twin of sampling.deterministic_split (98/1/1 hash basis points)."""
+    return """
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 12)) AS BIGINT) % 10000 AS bp
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bp < 9800 THEN 'train'
+            WHEN bp < 9900 THEN 'val'
+            ELSE 'test' END AS split
+FROM h"""
+
+
+def _sql_curate_pack(n_buckets: int = 64, budget: int = 8192) -> str:
+    """Twin of sampling.pack_shards (concat-and-chunk over hash order)."""
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 12)) AS BIGINT) AS h,
+         len(regexp_extract_all(text, '\\S+'))::BIGINT AS t
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, h % {n_buckets} AS pack_bucket,
+         COALESCE(SUM(t) OVER (PARTITION BY h % {n_buckets}
+                   ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cb
+  FROM base
+)
+SELECT doc_id, pack_bucket,
+       CAST(cb // {budget} AS BIGINT) AS shard_seq,
+       CAST(cb % {budget} AS BIGINT) AS offset_tokens
+FROM cum"""
+
+
+def _sql_tfidf_topterms(k: int = 5) -> str:
+    """Twin of textstats.tfidf_topterms (ln idf, 9-dp rounding)."""
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         round(tf::DOUBLE * ln((n_docs + 1)::DOUBLE / (df + 1)::DOUBLE), 9) AS s9
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY s9 DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term,
+       CAST(round(s9 * 1e9) AS BIGINT) AS score_e9
+FROM r WHERE rank <= {k}"""
+
+
 def _sql_cosine_topk() -> str:
     dot = "list_sum(list_transform(generate_series(1, 64), i -> qe[i]::DOUBLE * ce[i]::DOUBLE))"
     nq = "sqrt(list_sum(list_transform(generate_series(1, 64), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))"
@@ -786,6 +1046,51 @@ c AS (SELECT vec_id AS neighbor_id, embedding AS ce, bucket FROM b),
 p AS (
   SELECT query_id, neighbor_id, round({dot} / ({nq} * {nc}), 9) AS sim9
   FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY sim9 DESC, neighbor_id ASC) AS rank
+  FROM p
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+       CAST(round(sim9 * 1e9) AS BIGINT) AS sim_e9
+FROM r WHERE rank <= {k}"""
+
+
+def _sql_ivf_topk(k: int = 10, n_centroids: int = 16, n_probe: int = 2) -> str:
+    """Twin of similarity.ivf_topk: lowest-vec_id centroids, nearest-cell
+    inverted lists, n_probe cell scan, exact cosine rerank."""
+    dot = "list_sum(list_transform(generate_series(1, 64), i -> qe[i]::DOUBLE * ce[i]::DOUBLE))"
+    nq = "sqrt(list_sum(list_transform(generate_series(1, 64), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))"
+    nc = "sqrt(list_sum(list_transform(generate_series(1, 64), i -> ce[i]::DOUBLE * ce[i]::DOUBLE)))"
+    cdot = dot.replace("qe", "e.embedding").replace("ce", "c.cent")
+    cnq = nq.replace("qe", "e.embedding")
+    cnc = nc.replace("ce", "c.cent")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS cent FROM embeddings
+  ORDER BY vec_id LIMIT {n_centroids}
+),
+ranked AS (
+  SELECT e.vec_id, c.cell_id,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round({cdot} / ({cnq} * {cnc}), 9) DESC, c.cell_id ASC) AS crank
+  FROM embeddings e CROSS JOIN cents c
+),
+lists AS (
+  SELECT r.vec_id AS neighbor_id, r.cell_id, e.embedding AS ce
+  FROM ranked r JOIN embeddings e ON e.vec_id = r.vec_id
+  WHERE r.crank = 1
+),
+probes AS (
+  SELECT r.vec_id AS query_id, r.cell_id, e.embedding AS qe
+  FROM ranked r JOIN embeddings e ON e.vec_id = r.vec_id
+  WHERE r.crank <= {n_probe} AND r.vec_id % 25 = 0
+),
+p AS (
+  SELECT query_id, neighbor_id, round({dot} / ({nq} * {nc}), 9) AS sim9
+  FROM probes JOIN lists USING (cell_id)
+  WHERE query_id <> neighbor_id
 ),
 r AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
@@ -908,6 +1213,10 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_score": _sql_quality(),
         "text_token_stats": _sql_tokens(),
         "text_fingerprint": _sql_fingerprint(),
+        "text_tfidf_topterms": _sql_tfidf_topterms(),
+        "curate_split": _sql_curate_split(),
+        "curate_pack_shards": _sql_curate_pack(),
+        "curate_corpus": _sql_curate_corpus(),
         "p16_code_detect": (
             f"SELECT doc_id, len(regexp_extract_all(text, '{textstats.CODE_TOKENS_RE}')) AS code_hits, "
             f"CAST(len(regexp_extract_all(text, '{textstats.CODE_TOKENS_RE}')) >= {textstats.CODE_MIN_HITS} AS INT) AS is_code "
@@ -919,6 +1228,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_buckets": _sql_lsh_buckets(),
         "ann_lsh_search": _sql_lsh_search(),
         "dedup_embedding_cosine": _sql_embedding_near_dups(400_000_000),
+        "dedup_ngram_jaccard": _sql_ngram_jaccard(),
+        "dedup_components": _sql_dedup_components(),
+        "ann_ivf_topk": _sql_ivf_topk(),
         "w2_sessionize_events": _sql_sessionize_events(),
         "w1_windowed_event_counts": (
             "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H')"

@@ -157,6 +157,100 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text",
     return jaccard_verify(pairs, sh, threshold)
 
 
+MAX_DF = 64
+
+
+def ngram_jaccard_dedup(docs: DataFrame, text_col: str = "text",
+                        threshold: float = 0.5,
+                        max_df: int = MAX_DF) -> DataFrame:
+    """Sketch-free n-gram Jaccard near-dup pairs (rare-shingle filtering).
+
+    The second classic candidate scheme next to MinHash banding: two docs
+    are candidates iff they share at least one DISCRIMINATIVE shingle —
+    document frequency in [2, max_df].  Unlike MinHash (probabilistic
+    recall from 8 hashes), this finds EVERY pair sharing a rare shingle,
+    at the cost of candidate volume growing with shingle co-occurrence.
+
+    Scale shape: the df cap bounds the per-shingle self-join at
+    max_df^2 pairs (the same explicit hot-key policy as the band buckets
+    — ubiquitous boilerplate shingles carry no signal and are excluded;
+    a pair is missed only if ALL its shared shingles are corpus-hot,
+    which at jaccard>=0.5 means boilerplate best handled by
+    ``exact_groups``).  df is computed by a window over the same key the
+    join shuffles on, so AQE coalesces the exchanges.
+    """
+    from pyspark.sql import Window
+
+    sh = shingles(docs, text_col)
+    w = Window.partitionBy("shingle")
+    rare = (
+        sh.withColumn("df", F.count(F.lit(1)).over(w))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("doc_id", "shingle")
+    )
+    a = rare.select(F.col("doc_id").alias("doc1"), "shingle")
+    b = rare.select(F.col("doc_id").alias("doc2"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    return jaccard_verify(pairs, sh, threshold)
+
+
+def components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Duplicate clusters from near-dup pairs: (doc_id, rep_id, cluster_size).
+
+    The dedup pipeline's final step: connected components over the pair
+    graph, each doc labeled with its component's minimum doc_id (the
+    canonical keeper) plus the component size.  Pregel-style min-label
+    propagation: each round every node takes the min of its own and its
+    neighbors' labels; terminates when a round changes nothing.  Rounds =
+    graph diameter — near-dup clusters are dense and shallow (boilerplate
+    stars, re-upload chains), so a handful of rounds suffices; at web
+    scale swap in the large-star/small-star alternation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") which bounds rounds at
+    O(log^2 n) with the same output contract.  Each round is one
+    equi-join + groupBy on node id (co-partitioned after the first AQE
+    round); the per-round driver action is a 1-row convergence count, not
+    row data.  localCheckpoint truncates lineage so plans stay constant
+    per round.
+    """
+    edges = (
+        pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
+        .union(pairs.select(F.col("doc2").alias("a"), F.col("doc1").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "lab", F.col("node")
+    )
+    for _ in range(max_iter):
+        neighbor = (
+            edges.join(labels, edges["a"] == labels["node"])
+            .select(F.col("b").alias("node"), "lab")
+        )
+        new_labels = (
+            labels.union(neighbor).groupBy("node").agg(F.min("lab").alias("lab"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.join(labels.withColumnRenamed("lab", "old"), "node")
+            .filter(F.col("lab") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "lab").select(
+        F.col("node").alias("doc_id"),
+        F.col("lab").alias("rep_id"),
+        "cluster_size",
+    )
+
+
 SIMHASH_BLOCKS = 4  # 4 x 8-bit blocks over the 32-bit simhash
 SIMHASH_MAX_HAMMING = 3  # pigeonhole: <=3 flipped bits leave >=1 block intact
 

@@ -1,0 +1,80 @@
+"""Deterministic sampling/splitting/packing for training-data curation.
+
+Reproducibility is the contract: every assignment derives from md5 of the
+row's own key, so the same doc lands in the same split/shard on any
+engine, any cluster size, any run — no RNG state, no partition-order
+dependence.  All ops are single-scan (split) or one-shuffle (packing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SPLITS = [("train", 9800), ("val", 100), ("test", 100)]  # basis points
+PACK_BUCKETS = 64
+PACK_BUDGET = 8192  # tokens per shard
+
+
+def _hash_bp(key_col):
+    """Stable basis-point bucket in [0, 10000) from md5 of the key."""
+    return F.conv(F.substring(F.md5(key_col.cast("string")), 1, 12), 16, 10)\
+        .cast("long") % 10000
+
+
+def deterministic_split(docs: DataFrame, key_col: str = "doc_id",
+                        splits=None) -> DataFrame:
+    """(key, split) train/val/test assignment by hash basis points.
+
+    Unlike ``df.sample``/``randomSplit`` (partition-order- and
+    seed-plumbing-dependent), the assignment is a pure function of the
+    key: stable under repartitioning, resumable, and auditable.  Split
+    sizes are basis points summing to 10000.
+    """
+    splits = splits or SPLITS
+    assert sum(bp for _, bp in splits) == 10000
+    bp = _hash_bp(F.col(key_col))
+    edge = 0
+    expr = None
+    for name, width in splits:
+        edge += width
+        cond = bp < edge
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return docs.select(key_col, expr.alias("split"))
+
+
+def pack_shards(docs: DataFrame, key_col: str = "doc_id",
+                tokens_col: str = "n_tokens",
+                n_buckets: int = PACK_BUCKETS,
+                budget: int = PACK_BUDGET) -> DataFrame:
+    """Concat-and-chunk sequence packing into fixed-token-budget shards.
+
+    (key, pack_bucket, shard_seq, offset_tokens): docs are hashed into
+    ``n_buckets`` independent packing streams (the scale unit — each
+    bucket packs in parallel; a single global order would serialize the
+    corpus through one partition), laid end to end in deterministic
+    key-hash order, and the token stream is cut every ``budget`` tokens —
+    the standard LLM-pretraining packing, where a document may span a
+    shard boundary (consumers read on into shard_seq+1).  shard_seq is
+    the shard holding the doc's FIRST token; offset_tokens its start
+    offset there.  A pre-row running sum over one window = one shuffle;
+    no sequential state, so the closed form is exact (greedy-with-burn
+    packing would need a per-bucket fold and wastes tail capacity).
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10)\
+        .cast("long")
+    base = docs.select(
+        F.col(key_col), (h % n_buckets).alias("pack_bucket"),
+        h.alias("order_h"), F.col(tokens_col).cast("long").alias("t"),
+    )
+    w = Window.partitionBy("pack_bucket").orderBy("order_h", key_col)
+    cum_before = F.coalesce(
+        F.sum("t").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return base.select(
+        key_col, "pack_bucket",
+        F.floor(cum_before / budget).cast("long").alias("shard_seq"),
+        (cum_before % budget).cast("long").alias("offset_tokens"),
+    )

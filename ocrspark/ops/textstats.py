@@ -106,3 +106,44 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     (exact-dup key; md5 is bit-identical across engines)."""
     canon = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return docs.select("doc_id", F.md5(canon).alias("fp"))
+
+
+def tfidf_topterms(docs: DataFrame, text_col: str = "text",
+                   k: int = 5) -> DataFrame:
+    """Top-k tf-idf terms per document: (doc_id, rank, term, score_e9).
+
+    Keyword extraction for corpus curation: tf = per-doc term count,
+    idf = ln((N+1)/(df+1)) with N pulled into the plan as a broadcast
+    1-row aggregate (no driver-side count).  Score is rounded to 9 dp and
+    scaled to int64 so Spark and DuckDB hash identically; ties break on
+    term ASC.  Two shuffles (doc-term tf, term df) + one broadcast — the
+    df side is |vocabulary|, which AQE handles; nothing is quadratic.
+    """
+    from pyspark.sql import Window
+
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.round(
+        F.col("tf").cast("double")
+        * F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1).cast("double")),
+        9,
+    )
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", score.alias("s9"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("s9").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term",
+                F.round(F.col("s9") * 1e9).cast("long").alias("score_e9"))
+    )

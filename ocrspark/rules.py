@@ -117,7 +117,19 @@ def g7_match_pos(text: Column) -> Column:
     for pat in reversed(C.G7_TASK_HEAD_PATTERNS):
         pos = F.regexp_instr(tail, F.lit(pat))
         result = F.when(pos > 0, pos + (C.G7_HEAD_SKIP - 1)).otherwise(result)
-    return result
+    # cost guard, not semantics: the priority CASE chain short-circuits on
+    # the first matching pattern, but the common NO-match row pays all
+    # three scans.  One combined-alternation scan decides "any match?"
+    # first (it matches iff some pattern matches, so the guarded value is
+    # identical); CASE short-circuiting then skips the per-pattern scans
+    # on every non-matching row — measured +7% on the full local[1]
+    # pipeline when the three scans ran unconditionally.
+    any_pat = "(?i)(" + "|".join(
+        p.removeprefix("(?i)") for p in C.G7_TASK_HEAD_PATTERNS
+    ) + ")"
+    return F.when(F.regexp_instr(tail, F.lit(any_pat)) > 0, result).otherwise(
+        F.lit(0)
+    )
 
 
 # ------------------------------------------------------ topic classifier --

@@ -70,10 +70,40 @@ def test_scaled_similarity_paths_are_equi_joins(spark):
         similarity.lsh_search(emb),
         dedup.minhash_dedup(docs, threshold=0.2),
         dedup.simhash_near_dups(docs),
+        dedup.ngram_jaccard_dedup(docs, threshold=0.2),
     ]:
         plan = _plan(df)
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
+    # IVF: the ONLY nested-loop join allowed is the centroid scoring pass,
+    # whose broadcast side is the n_centroids-row table (bounded by
+    # construction).  Catalyst inlines the shared `asg` subplan into both
+    # its consumers (inverted lists + query probes), so that one bounded
+    # join appears twice; the list/probe joins themselves are equi-joins
+    # (SortMergeJoin/BroadcastHashJoin), asserted by the cap below.
+    plan = _plan(similarity.ivf_topk(emb, n_centroids=4))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_ngram_jaccard_matches_uncapped_ground_truth(spark):
+    """The df cap only drops pairs whose EVERY shared shingle is
+    corpus-hot; on the fixture corpus the capped result equals the
+    exhaustive shared-shingle ground truth, and candidate generation is
+    a superset of the MinHash-banded pairs."""
+    from ocrspark.ops import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    capped = {(r.doc1, r.doc2, r.jaccard_bp)
+              for r in dedup.ngram_jaccard_dedup(docs, threshold=0.2).collect()}
+    exhaustive = {(r.doc1, r.doc2, r.jaccard_bp)
+                  for r in dedup.ngram_jaccard_dedup(
+                      docs, threshold=0.2, max_df=1 << 30).collect()}
+    assert capped == exhaustive
+    minhash = {(r.doc1, r.doc2, r.jaccard_bp)
+               for r in dedup.minhash_dedup(docs, threshold=0.2).collect()}
+    assert minhash <= exhaustive
+    assert len(exhaustive) > 0
 
 
 def test_cosine_topk_query_side_is_bounded(spark):
@@ -115,6 +145,48 @@ def test_embedding_near_dups_recall(spark):
     assert banded <= exact
     assert len(exact) > 0
     assert len(banded) / len(exact) >= 0.5  # OR-of-ANDs recall at cos>=0.4
+
+
+def test_components_label_propagation(spark):
+    """Min-label propagation finds connected components on a graph needing
+    multiple rounds (path of 6) plus a disjoint pair, labeling each node
+    with the component-min id and the component size."""
+    from ocrspark.ops import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)],
+        "doc1 int, doc2 int",
+    )
+    got = {(r.doc_id, r.rep_id, r.cluster_size)
+           for r in dedup.components(pairs).collect()}
+    want = {(n, 1, 6) for n in range(1, 7)} | {(10, 10, 2), (11, 10, 2)}
+    assert got == want
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    """IVF results are a subset of valid neighbors with contiguous ranks,
+    and the n_probe=2/16-cell scan retains usable recall@k against the
+    exact cosine_topk baseline on the fixture embeddings."""
+    from ocrspark.ops import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = similarity.cosine_topk(emb, k=10).collect()
+    ivf = similarity.ivf_topk(emb, k=10).collect()
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact}
+    ivf_pairs = {(r.query_id, r.neighbor_id) for r in ivf}
+    # same query cohort, contiguous ranks per query
+    assert {r.query_id for r in ivf} == {r.query_id for r in exact}
+    by_q = {}
+    for r in ivf:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+    # sims must agree with the exact computation for shared pairs
+    exact_sim = {(r.query_id, r.neighbor_id): r.sim_e9 for r in exact}
+    for r in ivf:
+        if (r.query_id, r.neighbor_id) in exact_sim:
+            assert exact_sim[(r.query_id, r.neighbor_id)] == r.sim_e9
+    recall = len(ivf_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.2, f"IVF recall@10 collapsed: {recall:.3f}"
 
 
 def test_simhash_blocks_exact_for_low_hamming(spark):
