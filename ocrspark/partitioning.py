@@ -37,3 +37,18 @@ def bucket_of(col, buckets: int = DEFAULT_BUCKETS):
 
 def with_bucket(df: DataFrame, buckets: int = DEFAULT_BUCKETS) -> DataFrame:
     return df.withColumn("bucket", bucket_of(F.col("doc_id"), buckets))
+
+
+def write_bucketed(df: DataFrame, table: str, key: str = "doc_id",
+                   buckets: int = DEFAULT_BUCKETS) -> None:
+    """Persist as a Spark bucketed+sorted table so later equi-joins and
+    aggregations on ``key`` are exchange-free.
+
+    This is the co-located-join path for 100 TB: two tables bucketed by
+    the same key with the same bucket count sort-merge-join with ZERO
+    shuffle of either side (asserted in test_plan) — the join that
+    dominates repeated pipeline runs (extractions x catalog, spans x
+    tasks) is paid once at write time instead of per query.
+    """
+    (df.write.mode("overwrite").format("parquet")
+       .bucketBy(buckets, key).sortBy(key).saveAsTable(table))

@@ -147,6 +147,36 @@ def test_embedding_near_dups_recall(spark):
     assert len(banded) / len(exact) >= 0.5  # OR-of-ANDs recall at cos>=0.4
 
 
+def test_bucketed_join_is_exchange_free(spark):
+    """Co-located join contract: two tables bucketed by the join key with
+    equal bucket counts sort-merge-join with NO Exchange on either side —
+    the write-once/join-free-forever path for repeated pipeline runs."""
+    from ocrspark.partitioning import write_bucketed
+
+    a = spark.range(500).select(
+        F.col("id").cast("int").alias("doc_id"),
+        (F.col("id") * 3).alias("x"),
+    )
+    b = spark.range(500).select(
+        F.col("id").cast("int").alias("doc_id"),
+        (F.col("id") * 7).alias("y"),
+    )
+    write_bucketed(a, "bkt_a", buckets=8)
+    write_bucketed(b, "bkt_b", buckets=8)
+    try:
+        joined = (
+            spark.table("bkt_a").hint("merge")
+            .join(spark.table("bkt_b").hint("merge"), "doc_id")
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 500
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
 def test_components_label_propagation(spark):
     """Min-label propagation finds connected components on a graph needing
     multiple rounds (path of 6) plus a disjoint pair, labeling each node
