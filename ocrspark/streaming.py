@@ -160,3 +160,26 @@ def windowed_event_counts(events: DataFrame, window: str = "10 minutes",
         F.count(F.lit(1)).alias("n_events"),
         F.approx_count_distinct("user_id").alias("approx_users"),
     )
+
+
+def dedup_stream(docs: DataFrame, ts_col: str = "ingested_at",
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: first-seen wins within the watermark horizon.
+
+    The ingestion-side twin of ``ops.dedup.exact_groups``: the same
+    canonical-text md5 key, deduped incrementally with
+    ``dropDuplicatesWithinWatermark`` so state is BOUNDED — a duplicate
+    arriving within ``watermark`` of the first copy is dropped; state for
+    keys older than the horizon is evicted (at 100 TB/day the horizon is
+    the memory knob; full-history dedup belongs to the batch op over the
+    landed corpus).  Works on batch DataFrames too (falls back to plain
+    dropDuplicates semantics on the key).
+    """
+    canon = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    keyed = docs.withColumn("fp", F.md5(canon)).withColumn(
+        ts_col, F.col(ts_col).cast("timestamp")
+    )
+    if keyed.isStreaming:
+        return keyed.withWatermark(ts_col, watermark)\
+            .dropDuplicatesWithinWatermark(["fp"])
+    return keyed.dropDuplicates(["fp"])

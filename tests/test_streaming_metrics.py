@@ -43,6 +43,48 @@ def test_stream_extract_matches_batch(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == exp.count()
 
 
+def test_dedup_stream_first_seen_wins(spark, tmp_path):
+    """Streaming exact dedup across micro-batches: duplicates of an
+    already-seen canonical text are dropped (state carry-over), first
+    arrival survives."""
+    import os
+
+    from ocrspark.streaming import dedup_stream
+
+    batches = [
+        [(1, "alpha  text", "2026-01-01 10:00:00"),
+         (2, "beta text", "2026-01-01 10:01:00")],
+        [(3, "ALPHA TEXT", "2026-01-01 10:05:00"),   # dup of 1 (canon)
+         (4, "gamma text", "2026-01-01 10:06:00")],
+        [(5, "beta   TEXT", "2026-01-01 10:10:00"),  # dup of 2
+         (6, "alpha text", "2026-01-01 10:11:00"),   # dup of 1
+         (7, "delta text", "2026-01-01 10:12:00")],
+    ]
+    in_dir = tmp_path / "dedup_in"
+    in_dir.mkdir()
+    schema = "doc_id int, text string, ingested_at string"
+    for i, rows in enumerate(batches):
+        tmp = tmp_path / f"b{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(tmp))
+        src = next(p for p in tmp.iterdir() if p.name.endswith(".parquet"))
+        dst = in_dir / f"{i}.parquet"
+        src.rename(dst)
+        os.utime(dst, (2_000_000 + i * 1000, 2_000_000 + i * 1000))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(in_dir)))
+    q = (dedup_stream(stream).writeStream.format("memory")
+         .queryName("dedup_stream_t").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.table("dedup_stream_t").collect()}
+    assert got == {1, 2, 4, 7}
+
+    # batch form: same keep-count on the same input
+    batch = spark.read.parquet(str(in_dir))
+    assert dedup_stream(batch).count() == 4
+
+
 def test_sessionize_stream_matches_batch(spark, tmp_path):
     """applyInPandasWithState sessionization across MULTIPLE micro-batches
     (state carry-over) equals the batch window sessionization."""
