@@ -350,6 +350,13 @@ def _q_dedup_components(spark, sf_dir):
     return dedup.components(pairs)
 
 
+def _q_dedup_components_star(spark, sf_dir):
+    """Same clusters via the O(log^2 n)-round large-star/small-star path."""
+    pairs = dedup.ngram_jaccard_dedup(_tbl(spark, sf_dir, "documents"),
+                                      threshold=0.2).select("doc1", "doc2")
+    return dedup.components_star(pairs)
+
+
 def _q_curate_corpus(spark, sf_dir):
     """End-to-end curation composite: quality gate -> exact-dup keeper ->
     near-dup component keeper -> deterministic split.  The full
@@ -565,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_embedding_near_dups,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_components": _q_dedup_components,
+        "dedup_components_star": _q_dedup_components_star,
         "ann_ivf_topk": _q_ivf_topk,
         "w2_sessionize_events": _q_sessionize_events,
         "w1_windowed_event_counts": _q_windowed_counts,
@@ -1230,6 +1238,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _sql_embedding_near_dups(400_000_000),
         "dedup_ngram_jaccard": _sql_ngram_jaccard(),
         "dedup_components": _sql_dedup_components(),
+        "dedup_components_star": _sql_dedup_components(),
         "ann_ivf_topk": _sql_ivf_topk(),
         "w2_sessionize_events": _sql_sessionize_events(),
         "w1_windowed_event_counts": (

@@ -251,6 +251,83 @@ def components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     )
 
 
+def _sym(e: DataFrame) -> DataFrame:
+    return e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) + {u})."""
+    s = _sym(e)
+    m = s.groupBy("u").agg(F.min("v").alias("mv")).select(
+        "u", F.least(F.col("mv"), F.col("u")).alias("m")
+    )
+    return (
+        s.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Direct edges large->small; connect all smaller neighbors and u
+    itself to min(N_small(u) + {u})."""
+    d = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    m = d.groupBy("u").agg(F.min("v").alias("m"))
+    out = d.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+        m.select("u", F.col("m").alias("v"))
+    )
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def components_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components via large-star/small-star alternation — the
+    web-scale path (Kiveris et al., "Connected Components in MapReduce and
+    Beyond": O(log^2 n) rounds vs. graph-diameter rounds for plain label
+    propagation, so a 10^9-node re-upload chain converges in ~30 rounds
+    instead of 10^9).  Same output contract as ``components``
+    ((doc_id, rep_id, cluster_size); differential-tested equal), every
+    round is two groupBy/join passes on node id, and convergence is an
+    edge-set fixpoint check (two anti-join counts), not data collection.
+    """
+    e = pairs.select(
+        F.col("doc1").alias("u"), F.col("doc2").alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
+    nodes = _sym(e).select("u").distinct()
+    for _ in range(max_iter):
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        norm_old = e.select(F.greatest("u", "v").alias("u"),
+                            F.least("u", "v").alias("v")).distinct()
+        norm_new = new_e.select(F.greatest("u", "v").alias("u"),
+                                F.least("u", "v").alias("v")).distinct()
+        stable = (norm_new.exceptAll(norm_old).limit(1).count() == 0
+                  and norm_old.exceptAll(norm_new).limit(1).count() == 0)
+        e = new_e
+        if stable:
+            break
+    # at the fixpoint e is a union of stars: (child, root) with root =
+    # component min; roots themselves carry no outgoing edge
+    child = e.select(F.greatest("u", "v").alias("node"),
+                     F.least("u", "v").alias("lab"))
+    child = child.groupBy("node").agg(F.min("lab").alias("lab"))
+    labels = child.union(
+        nodes.join(child, nodes["u"] == child["node"], "left_anti")
+        .select(F.col("u").alias("node"), F.col("u").alias("lab"))
+    )
+    sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "lab").select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("rep_id"),
+        "cluster_size",
+    )
+
+
 SIMHASH_BLOCKS = 4  # 4 x 8-bit blocks over the 32-bit simhash
 SIMHASH_MAX_HAMMING = 3  # pigeonhole: <=3 flipped bits leave >=1 block intact
 

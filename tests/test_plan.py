@@ -193,6 +193,32 @@ def test_components_label_propagation(spark):
     assert got == want
 
 
+def test_components_star_equals_propagation(spark):
+    """large-star/small-star (the O(log^2 n)-round scale path) must produce
+    exactly the labels of plain min-label propagation — on a multi-round
+    path graph, a star cluster, a cycle, and seeded random graphs."""
+    import random
+
+    from ocrspark.ops import dedup
+
+    cases = [
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)],
+        [(7, 1), (7, 2), (7, 3), (8, 9), (9, 10), (10, 8)],  # star + cycle
+    ]
+    for seed in (0, 1):
+        rng = random.Random(seed)
+        cases.append([(rng.randrange(60), rng.randrange(60))
+                      for _ in range(80)])
+    for pairs in cases:
+        pairs = [(a, b) for a, b in pairs if a != b]
+        df = spark.createDataFrame(pairs, "doc1 int, doc2 int")
+        prop = {(r.doc_id, r.rep_id, r.cluster_size)
+                for r in dedup.components(df).collect()}
+        star = {(r.doc_id, r.rep_id, r.cluster_size)
+                for r in dedup.components_star(df).collect()}
+        assert star == prop, (sorted(star - prop), sorted(prop - star))
+
+
 def test_ivf_topk_recall_vs_exact(spark):
     """IVF results are a subset of valid neighbors with contiguous ranks,
     and the n_probe=2/16-cell scan retains usable recall@k against the
