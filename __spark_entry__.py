@@ -305,6 +305,10 @@ def _q_lsh_search(spark, sf_dir):
     return similarity.lsh_search(_tbl(spark, sf_dir, "embeddings"))
 
 
+def _q_lsh_search_multiprobe(spark, sf_dir):
+    return similarity.lsh_search_multiprobe(_tbl(spark, sf_dir, "embeddings"))
+
+
 def _q_embedding_near_dups(spark, sf_dir):
     return similarity.embedding_near_dups(_tbl(spark, sf_dir, "embeddings"),
                                           threshold=0.4)
@@ -569,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_cosine_topk,
         "ann_lsh_buckets": _q_lsh_buckets,
         "ann_lsh_search": _q_lsh_search,
+        "ann_lsh_search_multiprobe": _q_lsh_search_multiprobe,
         "dedup_embedding_cosine": _q_embedding_near_dups,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_components": _q_dedup_components,
@@ -1110,6 +1115,34 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
 FROM r WHERE rank <= {k}"""
 
 
+def _sql_lsh_search_multiprobe(k: int = 5, n_planes: int = 8) -> str:
+    """Twin of similarity.lsh_search_multiprobe (self + hamming-1 probes)."""
+    dot = "list_sum(list_transform(generate_series(1, 64), i -> qe[i]::DOUBLE * ce[i]::DOUBLE))"
+    nq = "sqrt(list_sum(list_transform(generate_series(1, 64), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))"
+    nc = "sqrt(list_sum(list_transform(generate_series(1, 64), i -> ce[i]::DOUBLE * ce[i]::DOUBLE)))"
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {2**p})" for p in range(n_planes)])
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {_planes_expr(n_planes)} AS bucket FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe, u.pb AS bucket
+  FROM b, LATERAL UNNEST([{probes}]) AS u(pb)
+  WHERE vec_id % 25 = 0
+),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce, bucket FROM b),
+p AS (
+  SELECT DISTINCT query_id, neighbor_id, round({dot} / ({nq} * {nc}), 9) AS sim9
+  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY sim9 DESC, neighbor_id ASC) AS rank
+  FROM p
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+       CAST(round(sim9 * 1e9) AS BIGINT) AS sim_e9
+FROM r WHERE rank <= {k}"""
+
+
 def _sql_topic_enum() -> str:
     from ocrspark import config as C
 
@@ -1235,6 +1268,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _sql_cosine_topk(),
         "ann_lsh_buckets": _sql_lsh_buckets(),
         "ann_lsh_search": _sql_lsh_search(),
+        "ann_lsh_search_multiprobe": _sql_lsh_search_multiprobe(),
         "dedup_embedding_cosine": _sql_embedding_near_dups(400_000_000),
         "dedup_ngram_jaccard": _sql_ngram_jaccard(),
         "dedup_components": _sql_dedup_components(),

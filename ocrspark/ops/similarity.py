@@ -137,6 +137,55 @@ def lsh_search(emb: DataFrame, k: int = 5, query_mod: int = 25,
     )
 
 
+def lsh_search_multiprobe(emb: DataFrame, k: int = 5, query_mod: int = 25,
+                          n_planes: int = 8) -> DataFrame:
+    """Multi-probe bucketed ANN: each query also probes every bucket at
+    hamming distance 1 from its own (flip one hyperplane sign), the
+    standard recall knob for sign-LSH — vectors on the wrong side of ONE
+    plane are recovered at (n_planes+1)x candidate cost instead of
+    resorting to more tables.  Probe expansion is an explode on the query
+    side only (candidate side unchanged), so the join stays an equi-join
+    on bucket; duplicates from multiple probes collapse in the rerank
+    window.  Recall baseline: ``cosine_topk``; single-probe: ``lsh_search``.
+    """
+    from pyspark.sql import Window
+
+    b = lsh_buckets(emb, n_planes)
+    e = emb.join(b, "vec_id")
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(2 ** p)) for p in range(n_planes)],
+    )
+    q = (
+        e.filter(F.col("vec_id") % query_mod == 0)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qe"),
+                F.explode(probes).alias("bucket"))
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"),
+        "bucket",
+    )
+    sim = F.round(
+        _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))), 9
+    )
+    pairs = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim9"))
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim9").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id",
+                F.round(F.col("sim9") * 1e9).cast("long").alias("sim_e9"))
+    )
+
+
 N_BANDS = 8
 PLANES_PER_BAND = 4
 

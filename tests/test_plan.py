@@ -245,6 +245,25 @@ def test_ivf_topk_recall_vs_exact(spark):
     assert recall >= 0.2, f"IVF recall@10 collapsed: {recall:.3f}"
 
 
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Hamming-1 probing must not lose any single-probe candidate and must
+    raise (or equal) recall@k against the exact baseline."""
+    from ocrspark.ops import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    k = 5
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.cosine_topk(emb, k=k).collect()}
+    single = similarity.lsh_search(emb, k=k).collect()
+    multi = similarity.lsh_search_multiprobe(emb, k=k).collect()
+    # every single-probe candidate set is a subset of multi-probe's, so at
+    # equal k the multi-probe rank list can only improve (sim desc order)
+    r_single = len({(r.query_id, r.neighbor_id) for r in single} & exact) / len(exact)
+    r_multi = len({(r.query_id, r.neighbor_id) for r in multi} & exact) / len(exact)
+    assert r_multi >= r_single
+    assert r_multi > 0
+
+
 def test_simhash_blocks_exact_for_low_hamming(spark):
     """The byte-block candidate join is EXACT (not approximate) for
     hamming <= SIMHASH_BLOCKS - 1: compare against brute-force pairs."""
