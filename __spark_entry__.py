@@ -361,6 +361,13 @@ def _q_dedup_components_star(spark, sf_dir):
     return dedup.components_star(pairs)
 
 
+def _q_curate_decontaminate(spark, sf_dir):
+    """Eval-split leakage report: verbatim 8-gram collisions vs train."""
+    from ocrspark.ops import sampling
+
+    return sampling.decontaminate(_tbl(spark, sf_dir, "documents"))
+
+
 def _q_curate_corpus(spark, sf_dir):
     """End-to-end curation composite: quality gate -> exact-dup keeper ->
     near-dup component keeper -> deterministic split.  The full
@@ -567,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_split": _q_curate_split,
         "curate_pack_shards": _q_curate_pack,
         "curate_corpus": _q_curate_corpus,
+        "curate_decontaminate": _q_curate_decontaminate,
         "p16_code_detect": _q_code_detect,
         "j3_topic_enum": _q_topic_enum,
         "j3_topic_enum_subject": _q_topic_enum_subject,
@@ -946,6 +954,42 @@ SELECT doc_id, pack_bucket,
 FROM cum"""
 
 
+def _sql_decontaminate(n: int = 8, max_df: int = 64) -> str:
+    """Twin of sampling.decontaminate (8-gram cross-split collisions)."""
+    gram = " || ' ' || ".join(f"ws[i+{j}]" for j in range(1, n + 1))
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+),
+sh8 AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(ws) >= {n} THEN
+      list_transform(generate_series(0, len(ws) - {n}), i -> {gram})
+    ELSE [] END)) AS shingle
+  FROM w
+),
+shh8 AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 12)) AS BIGINT) AS h
+  FROM sh8
+),
+sp AS (
+  SELECT doc_id,
+    CASE WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 12)) AS BIGINT) % 10000 < 9800 THEN 'train'
+         WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 12)) AS BIGINT) % 10000 < 9900 THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+),
+j AS (SELECT doc_id, h, split FROM shh8 JOIN sp USING (doc_id)),
+capped AS (
+  SELECT * FROM j QUALIFY count(*) OVER (PARTITION BY h) <= {max_df}
+)
+SELECT e.doc_id AS test_doc, t.doc_id AS train_doc, count(*) AS n_shared
+FROM capped e JOIN capped t USING (h)
+WHERE e.split <> 'train' AND t.split = 'train'
+GROUP BY 1, 2"""
+
+
 def _sql_tfidf_topterms(k: int = 5) -> str:
     """Twin of textstats.tfidf_topterms (ln idf, 9-dp rounding)."""
     return f"""
@@ -1258,6 +1302,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_split": _sql_curate_split(),
         "curate_pack_shards": _sql_curate_pack(),
         "curate_corpus": _sql_curate_corpus(),
+        "curate_decontaminate": _sql_decontaminate(),
         "p16_code_detect": (
             f"SELECT doc_id, len(regexp_extract_all(text, '{textstats.CODE_TOKENS_RE}')) AS code_hits, "
             f"CAST(len(regexp_extract_all(text, '{textstats.CODE_TOKENS_RE}')) >= {textstats.CODE_MIN_HITS} AS INT) AS is_code "

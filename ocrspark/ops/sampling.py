@@ -78,3 +78,49 @@ def pack_shards(docs: DataFrame, key_col: str = "doc_id",
         F.floor(cum_before / budget).cast("long").alias("shard_seq"),
         (cum_before % budget).cast("long").alias("offset_tokens"),
     )
+
+
+DECON_NGRAM = 8
+DECON_MAX_DF = 64
+
+
+def decontaminate(docs: DataFrame, text_col: str = "text",
+                  n: int = DECON_NGRAM,
+                  max_df: int = DECON_MAX_DF) -> DataFrame:
+    """Train/test contamination report: (test_doc, train_doc, n_shared).
+
+    The canonical eval-hygiene step: an eval ("test"/"val" split) document
+    sharing verbatim ``n``-gram spans with a training document signals
+    leakage.  Candidates come from an equi-join on the n-gram hash between
+    the eval-side and train-side shingle sets — never all-pairs; grams
+    hotter than ``max_df`` documents carry no leakage signal (ubiquitous
+    boilerplate) and are excluded by the same explicit df-cap policy as
+    the dedup candidate joins.  Split assignment is the deterministic
+    hash split, so the report is reproducible by construction.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import shingles
+
+    split = deterministic_split(docs)
+    sh = (
+        shingles(docs, text_col, n)
+        .join(split, "doc_id")
+        .select("doc_id", "split", "h")
+        .distinct()
+    )
+    w = Window.partitionBy("h")
+    capped = sh.withColumn("df", F.count(F.lit(1)).over(w)).filter(
+        F.col("df") <= max_df
+    )
+    ev = capped.filter(F.col("split") != "train").select(
+        F.col("doc_id").alias("test_doc"), "h"
+    )
+    tr = capped.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "h"
+    )
+    return (
+        ev.join(tr, "h")
+        .groupBy("test_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
