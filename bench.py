@@ -99,6 +99,26 @@ def main() -> None:
         "text_stats": lambda: textstats.quality_score(tbl("documents"))
         .join(textstats.token_stats(tbl("documents")), "doc_id").count(),
     }
+    if os.environ.get("SPARK_GRAFT_CURATION"):
+        # opt-in second suite (default suite stays round-comparable): the
+        # curation-path ops added in round 3
+        from ocrspark.ops import sampling
+
+        queries["dedup_ngram_jaccard"] = lambda: dedup.ngram_jaccard_dedup(
+            tbl("documents"), threshold=0.2).count()
+        queries["dedup_components"] = lambda: dedup.components(
+            dedup.ngram_jaccard_dedup(tbl("documents"), threshold=0.2)
+            .select("doc1", "doc2")).count()
+        queries["ann_ivf_topk"] = lambda: similarity.ivf_topk(
+            tbl("embeddings")).count()
+        queries["text_tfidf"] = lambda: textstats.tfidf_topterms(
+            tbl("documents")).count()
+        queries["curate_decontaminate"] = lambda: sampling.decontaminate(
+            tbl("documents")).count()
+        queries["curate_pack_shards"] = lambda: sampling.pack_shards(
+            tbl("documents").withColumn(
+                "n_tokens", F.regexp_count(F.col("text"), F.lit(r"\S+")))
+        ).count()
     if os.environ.get("SPARK_GRAFT_DISAGG"):
         # r1-equivalent plan: sink only the round-1 output column families so
         # Catalyst prunes the round-2 work (topic/html/G7) — isolates "new
