@@ -17,6 +17,30 @@ def test_split_is_pure_function_of_key(spark):
     assert sum(1 for _, s in a if s == "train") > 250  # ~98%
 
 
+def test_decontaminate_finds_planted_leak(spark):
+    """A verbatim 8-gram planted in one eval-split doc and one train doc
+    is reported exactly once; unrelated docs are silent."""
+    import hashlib
+
+    def bp(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16) % 10000
+
+    ev = next(i for i in range(1000) if bp(i) >= 9800)
+    tr = next(i for i in range(1000) if bp(i) < 9800)
+    other = next(i for i in range(1000) if bp(i) < 9800 and i != tr)
+    leak = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    docs = spark.createDataFrame(
+        [
+            (ev, "intro words here " + leak),
+            (tr, leak + " trailing content words"),
+            (other, "completely different content with no overlap at all"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = sampling.decontaminate(docs).collect()
+    assert [(r.test_doc, r.train_doc, r.n_shared) for r in rows] == [(ev, tr, 1)]
+
+
 def test_pack_shards_concat_and_chunk(spark):
     """Offsets/shards must equal laying the per-bucket token stream end to
     end and cutting every `budget` tokens (docs may span boundaries)."""
