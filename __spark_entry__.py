@@ -704,39 +704,12 @@ FROM inter JOIN counts c1 ON c1.doc_id = doc1 JOIN counts c2 ON c2.doc_id = doc2
 WHERE floor(n_inter * 10000 / (c1.n + c2.n - n_inter)) >= 2000"""
 
 
-def _sql_ngram_jaccard() -> str:
-    """Twin of dedup.ngram_jaccard_dedup: rare-shingle candidates
-    (df in [2, MAX_DF]) -> exact Jaccard verify at threshold 0.2."""
-    return f"""{_SHINGLE_CTES},
-rare AS (
-  SELECT doc_id, shingle FROM shh
-  QUALIFY count(*) OVER (PARTITION BY shingle) BETWEEN 2 AND {dedup.MAX_DF}
-),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-  FROM rare a JOIN rare b USING (shingle)
-  WHERE a.doc_id < b.doc_id
-),
-inter AS (
-  SELECT p.doc1, p.doc2, count(*) AS n_inter
-  FROM pairs p
-  JOIN shh s1 ON s1.doc_id = p.doc1
-  JOIN shh s2 ON s2.doc_id = p.doc2 AND s2.shingle = s1.shingle
-  GROUP BY p.doc1, p.doc2
-),
-counts AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id)
-SELECT doc1, doc2,
-  CAST(floor(n_inter * 10000 / (c1.n + c2.n - n_inter)) AS BIGINT) AS jaccard_bp
-FROM inter JOIN counts c1 ON c1.doc_id = doc1 JOIN counts c2 ON c2.doc_id = doc2
-WHERE floor(n_inter * 10000 / (c1.n + c2.n - n_inter)) >= 2000"""
-
-
-def _components_ctes() -> str:
-    """CTE chain: shingles -> rare-shingle pairs -> recursive reachability
-    -> labels (node, lab=min reachable doc_id).  Recursive UNION dedups
-    rows, so cycles terminate."""
-    shingle_ctes = _SHINGLE_CTES.replace("WITH w AS", "WITH RECURSIVE w AS")
-    return f"""{shingle_ctes},
+def _pair_ctes(threshold_bp: int = 2000) -> str:
+    """Shared CTE chain appended to _SHINGLE_CTES: rare-shingle candidates
+    (df in [2, MAX_DF]) -> exact-Jaccard-verified `pairs` — the single
+    source for _sql_ngram_jaccard, _sql_dedup_components and
+    _sql_curate_corpus."""
+    return f""",
 rare AS (
   SELECT doc_id, shingle FROM shh
   QUALIFY count(*) OVER (PARTITION BY shingle) BETWEEN 2 AND {dedup.MAX_DF}
@@ -755,10 +728,25 @@ inter AS (
 ),
 counts AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
 pairs AS (
-  SELECT doc1, doc2
+  SELECT doc1, doc2,
+    CAST(floor(n_inter * 10000 / (c1.n + c2.n - n_inter)) AS BIGINT) AS jaccard_bp
   FROM inter JOIN counts c1 ON c1.doc_id = doc1 JOIN counts c2 ON c2.doc_id = doc2
-  WHERE floor(n_inter * 10000 / (c1.n + c2.n - n_inter)) >= 2000
-),
+  WHERE floor(n_inter * 10000 / (c1.n + c2.n - n_inter)) >= {threshold_bp}
+)"""
+
+
+def _sql_ngram_jaccard() -> str:
+    """Twin of dedup.ngram_jaccard_dedup at threshold 0.2."""
+    return (_SHINGLE_CTES + _pair_ctes()
+            + "\nSELECT doc1, doc2, jaccard_bp FROM pairs")
+
+
+def _components_ctes() -> str:
+    """CTE chain: shingles -> verified pairs -> recursive reachability
+    -> labels (node, lab=min reachable doc_id).  Recursive UNION dedups
+    rows, so cycles terminate."""
+    shingle_ctes = _SHINGLE_CTES.replace("WITH w AS", "WITH RECURSIVE w AS")
+    return f"""{shingle_ctes}{_pair_ctes()},
 edges AS (
   SELECT doc1 AS a, doc2 AS b FROM pairs
   UNION SELECT doc2, doc1 FROM pairs
@@ -805,10 +793,7 @@ qual AS (
 ),
 dropped AS (SELECT node AS doc_id FROM labels WHERE node <> lab),
 sp AS (
-  SELECT doc_id,
-    CASE WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 12)) AS BIGINT) % 10000 < 9800 THEN 'train'
-         WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 12)) AS BIGINT) % 10000 < 9900 THEN 'val'
-         ELSE 'test' END AS split
+  SELECT doc_id, {_split_case_sql(_BP_SQL)} AS split
   FROM documents
 )
 SELECT d.doc_id, sp.split
@@ -916,18 +901,30 @@ def _sql_fingerprint() -> str:
     return f"SELECT doc_id, md5({_CANON}) AS fp FROM documents"
 
 
+def _split_case_sql(bp_expr: str = "bp") -> str:
+    """CASE expression derived from sampling.SPLITS — the Spark constant is
+    the single source of truth for the split edges."""
+    from ocrspark.ops import sampling
+
+    acc, whens = 0, []
+    for name, width in sampling.SPLITS[:-1]:
+        acc += width
+        whens.append(f"WHEN {bp_expr} < {acc} THEN '{name}'")
+    return ("CASE " + " ".join(whens)
+            + f" ELSE '{sampling.SPLITS[-1][0]}' END")
+
+
+_BP_SQL = "CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 12)) AS BIGINT) % 10000"
+
+
 def _sql_curate_split() -> str:
-    """Twin of sampling.deterministic_split (98/1/1 hash basis points)."""
-    return """
+    """Twin of sampling.deterministic_split (hash basis points)."""
+    return f"""
 WITH h AS (
-  SELECT doc_id,
-         CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 12)) AS BIGINT) % 10000 AS bp
+  SELECT doc_id, {_BP_SQL} AS bp
   FROM documents
 )
-SELECT doc_id,
-       CASE WHEN bp < 9800 THEN 'train'
-            WHEN bp < 9900 THEN 'val'
-            ELSE 'test' END AS split
+SELECT doc_id, {_split_case_sql()} AS split
 FROM h"""
 
 
@@ -974,10 +971,7 @@ shh8 AS (
   FROM sh8
 ),
 sp AS (
-  SELECT doc_id,
-    CASE WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 12)) AS BIGINT) % 10000 < 9800 THEN 'train'
-         WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 12)) AS BIGINT) % 10000 < 9900 THEN 'val'
-         ELSE 'test' END AS split
+  SELECT doc_id, {_split_case_sql(_BP_SQL)} AS split
   FROM documents
 ),
 j AS (SELECT doc_id, h, split FROM shh8 JOIN sp USING (doc_id)),
@@ -1174,7 +1168,7 @@ q AS (
 ),
 c AS (SELECT vec_id AS neighbor_id, embedding AS ce, bucket FROM b),
 p AS (
-  SELECT DISTINCT query_id, neighbor_id, round({dot} / ({nq} * {nc}), 9) AS sim9
+  SELECT query_id, neighbor_id, round({dot} / ({nq} * {nc}), 9) AS sim9
   FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
 ),
 r AS (

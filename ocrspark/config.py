@@ -182,9 +182,11 @@ OPERATOR_SPACE_RE = (r"([+\-*/^=()])", r" $1 ")
 # reference computes validity and match positions up front and never refreshes
 # them during the walk (taskseparation.py:33-55), so every trigger is a pure
 # function of the original texts — the walk itself is a sequential fold.
-# Pattern portability: (?i) is ASCII-only in Java, unicode in Python/RE2; the
-# only non-ASCII letter is lowercase 'å', so behavior agrees except on
-# all-caps 'OPPGÅVE' (absent from the corpus grammar and golden document).
+# Pattern portability: (?i) is ASCII-only in Java but unicode in Python/RE2,
+# so the one non-ASCII letter is spelled as an explicit [åÅ] class — all
+# engines (Spark/Java, pyref/Python, DuckDB/RE2) then agree INCLUDING on
+# all-caps 'OPPGÅVE' (previously a documented divergence; the class form
+# makes the shared tuple genuinely engine-exact).
 # --------------------------------------------------------------------------
 G7_MIN_VALID_CHARS = 100   # old/taskseparation.py:38
 G7_HEAD_SKIP = 25          # old/taskseparation.py:50
@@ -198,7 +200,7 @@ G7_HEAD_SKIP = 25          # old/taskseparation.py:50
 # order, so the priority semantics are shared by construction.
 G7_TASK_HEAD_PATTERNS = (
     r"(?i)oppgave\s*[0-9]+",        # taskseparation.py:45
-    r"(?i)oppgåve\s*[0-9]+",        # taskseparation.py:46
+    r"(?i)oppg[åÅ]ve\s*[0-9]+",     # taskseparation.py:46
     r"(?i)[0-9]+\s*\(\s*[A-Z]\s*\)",  # taskseparation.py:47
 )
 

@@ -84,7 +84,11 @@ class ParquetStore:
     def read_checkpoints(self, spark: SparkSession) -> DataFrame | None:
         path = self._path(CHECKPOINTS)
         try:
-            return spark.read.parquet(path)
+            # mergeSchema: a resumed run may append part files with newer
+            # checkpoint columns (e.g. landed_task_count) next to files
+            # from an older release; without the union schema the read
+            # nondeterministically picks one footer's schema
+            return spark.read.option("mergeSchema", "true").parquet(path)
         except Exception:
             return None
 
@@ -168,6 +172,16 @@ class IcebergStore:
     def append_checkpoints(self, df: DataFrame) -> None:
         full = f"{self.ns}.{CHECKPOINTS}"
         if self.spark.catalog.tableExists(full):
+            # same migration contract as extractions: widen an older-release
+            # checkpoints table before appending a wider batch (otherwise
+            # the checkpoint write fails AFTER extractions already landed)
+            existing = {f.name for f in self.spark.table(full).schema.fields}
+            missing = [f for f in df.schema.fields if f.name not in existing]
+            if missing:
+                cols = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}" for f in missing
+                )
+                self.spark.sql(f"ALTER TABLE {full} ADD COLUMNS ({cols})")
             df.writeTo(full).append()
         else:
             df.writeTo(full).create()

@@ -28,11 +28,20 @@ def _words(text_col):
     return F.regexp_extract_all(F.lower(text_col), F.lit(r"[a-z0-9]+"), 0)
 
 
+def canonical_fp(text_col):
+    """THE exact-dup key: md5 of lowercased whitespace-squeezed text.
+
+    Single source of truth for the canonicalization — shared by
+    ``exact_groups``, ``textstats.fingerprint`` and
+    ``streaming.dedup_stream`` so the batch and ingestion dedup keys can
+    never silently diverge."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " "))))
+
+
 def exact_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact duplicate groups by canonical-text md5 (hash groupBy)."""
-    canon = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return (
-        docs.select(F.md5(canon).alias("fp"), "doc_id")
+        docs.select(canonical_fp(F.col(text_col)).alias("fp"), "doc_id")
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("keep_doc_id"))
     )
@@ -226,6 +235,7 @@ def components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
         "lab", F.col("node")
     )
+    changed = 1
     for _ in range(max_iter):
         neighbor = (
             edges.join(labels, edges["a"] == labels["node"])
@@ -243,6 +253,16 @@ def components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # NEVER return partial labels as if converged: a >max_iter-diameter
+        # chain would silently split one component across several rep_ids
+        # (under-dedup downstream).  Propagation rounds = graph diameter;
+        # components_star needs O(log^2 n) rounds regardless of diameter.
+        raise RuntimeError(
+            f"components: no fixpoint after {max_iter} rounds — graph "
+            "diameter exceeds max_iter; raise max_iter or use "
+            "components_star (logarithmic rounds)"
+        )
     sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "lab").select(
         F.col("node").alias("doc_id"),
@@ -301,6 +321,7 @@ def components_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         F.col("doc1").alias("u"), F.col("doc2").alias("v")
     ).filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
     nodes = _sym(e).select("u").distinct()
+    stable = False
     for _ in range(max_iter):
         new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         norm_old = e.select(F.greatest("u", "v").alias("u"),
@@ -312,6 +333,11 @@ def components_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         e = new_e
         if stable:
             break
+    if not stable:
+        raise RuntimeError(
+            f"components_star: no edge-set fixpoint after {max_iter} "
+            "rounds (expected O(log^2 n)); raise max_iter"
+        )
     # at the fixpoint e is a union of stars: (child, root) with root =
     # component min; roots themselves carry no outgoing edge
     child = e.select(F.greatest("u", "v").alias("node"),

@@ -46,6 +46,12 @@ def _bounded_queries(q: DataFrame, max_queries: int) -> DataFrame:
     (BooleanSimplification would fold the assert away); ``when/otherwise
     (raise_error)`` survives optimization because the branch condition
     references a real column.
+
+    Cost note: the 1-row count aggregate evaluates ``q`` once in addition
+    to the broadcast build's own evaluation — two pushed-down scans of the
+    QUERY side.  Acceptable by contract: cosine_topk is the correctness
+    baseline whose query side is small (the guard exists to catch misuse);
+    the scale default ``lsh_search`` has no such pass.
     """
     n = q.agg(F.count(F.lit(1)).alias("q_n"))
     guard = F.when(F.col("q_n") <= F.lit(max_queries), F.lit(True)).otherwise(
@@ -145,8 +151,10 @@ def lsh_search_multiprobe(emb: DataFrame, k: int = 5, query_mod: int = 25,
     plane are recovered at (n_planes+1)x candidate cost instead of
     resorting to more tables.  Probe expansion is an explode on the query
     side only (candidate side unchanged), so the join stays an equi-join
-    on bucket; duplicates from multiple probes collapse in the rerank
-    window.  Recall baseline: ``cosine_topk``; single-probe: ``lsh_search``.
+    on bucket — and it cannot duplicate a pair: each candidate lives in
+    exactly one bucket and a query's probe buckets are pairwise distinct,
+    so no dedup pass precedes the rerank window.
+    Recall baseline: ``cosine_topk``; single-probe: ``lsh_search``.
     """
     from pyspark.sql import Window
 
@@ -173,7 +181,6 @@ def lsh_search_multiprobe(emb: DataFrame, k: int = 5, query_mod: int = 25,
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("sim9"))
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim9").desc(), F.col("neighbor_id").asc()

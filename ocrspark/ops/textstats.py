@@ -104,8 +104,9 @@ def code_detect(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Canonical-text fingerprint: md5 of lowercased whitespace-squeezed text
     (exact-dup key; md5 is bit-identical across engines)."""
-    canon = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    return docs.select("doc_id", F.md5(canon).alias("fp"))
+    from .dedup import canonical_fp
+
+    return docs.select("doc_id", canonical_fp(F.col(text_col)).alias("fp"))
 
 
 def tfidf_topterms(docs: DataFrame, text_col: str = "text",

@@ -175,8 +175,9 @@ def dedup_stream(docs: DataFrame, ts_col: str = "ingested_at",
     landed corpus).  Works on batch DataFrames too (falls back to plain
     dropDuplicates semantics on the key).
     """
-    canon = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
-    keyed = docs.withColumn("fp", F.md5(canon)).withColumn(
+    from .ops.dedup import canonical_fp
+
+    keyed = docs.withColumn("fp", canonical_fp(F.col("text"))).withColumn(
         ts_col, F.col(ts_col).cast("timestamp")
     )
     if keyed.isStreaming:

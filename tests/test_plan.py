@@ -191,6 +191,11 @@ def test_components_label_propagation(spark):
            for r in dedup.components(pairs).collect()}
     want = {(n, 1, 6) for n in range(1, 7)} | {(10, 10, 2), (11, 10, 2)}
     assert got == want
+    # non-convergence is an error, never silently-partial labels
+    import pytest
+
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        dedup.components(pairs, max_iter=2)
 
 
 def test_components_star_equals_propagation(spark):
