@@ -184,3 +184,48 @@ def dedup_stream(docs: DataFrame, ts_col: str = "ingested_at",
         return keyed.withWatermark(ts_col, watermark)\
             .dropDuplicatesWithinWatermark(["fp"])
     return keyed.dropDuplicates(["fp"])
+
+
+def dedup_ingest(spark: SparkSession, input_dir: str, out_dir: str,
+                 checkpoint_dir: str, schema: str,
+                 max_files_per_trigger: int = 64):
+    """FULL-history streaming dedup: survivors of each micro-batch are the
+    docs whose canonical fingerprint has never landed in ``out_dir``.
+
+    The complement of ``dedup_stream``: that one bounds state by a
+    watermark horizon; this one is exact against all history by
+    anti-joining the batch against the durable corpus itself (no
+    streaming state at all — the output IS the state).  Replay-safe by
+    the same construction: a micro-batch re-run after a crash anti-joins
+    against whatever its first attempt already appended, so re-appends
+    only what is missing.  At 100 TB the landed side should be the
+    fingerprint column of a bucketed table (bucketed by fp → the per-batch
+    anti-join shuffles only the small batch side; see
+    partitioning.write_bucketed); here it is the output parquet directly.
+    """
+    from .ops.dedup import canonical_fp
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        keyed = batch_df.withColumn(
+            "fp", canonical_fp(F.col("text"))
+        ).dropDuplicates(["fp"])
+        try:
+            landed = batch_df.sparkSession.read.parquet(out_dir)\
+                .select("fp").distinct()
+            keyed = keyed.join(landed, "fp", "left_anti")
+        except Exception:
+            pass  # first batch: nothing landed yet
+        keyed.write.mode("append").parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

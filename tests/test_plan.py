@@ -198,6 +198,25 @@ def test_components_label_propagation(spark):
         dedup.components(pairs, max_iter=2)
 
 
+def test_boilerplate_cluster_routes_to_exact_dedup(spark):
+    """The df cap's routing policy is coherent: a 200-doc identical
+    boilerplate cluster produces ZERO rare-shingle candidates (every
+    shingle is corpus-hot) but is fully captured by the exact-dup
+    hash-groupBy — the path the cap documentation points hot clusters to."""
+    from ocrspark.ops import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate text repeated verbatim for every "
+             "doc in this synthetic cluster of two hundred")
+         for i in range(200)],
+        "doc_id int, text string",
+    )
+    assert dedup.ngram_jaccard_dedup(docs, threshold=0.2).count() == 0
+    groups = dedup.exact_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].dup_count == 200 and groups[0].keep_doc_id == 0
+
+
 def test_components_star_equals_propagation(spark):
     """large-star/small-star (the O(log^2 n)-round scale path) must produce
     exactly the labels of plain min-label propagation — on a multi-round

@@ -85,6 +85,43 @@ def test_dedup_stream_first_seen_wins(spark, tmp_path):
     assert dedup_stream(batch).count() == 4
 
 
+def test_dedup_ingest_full_history(spark, tmp_path):
+    """Full-history ingestion dedup: duplicates are dropped against ALL
+    landed batches (not a watermark horizon), and a re-drain with no new
+    input appends nothing (replay-safe by construction)."""
+    import os
+
+    from ocrspark.streaming import dedup_ingest
+
+    batches = [
+        [(1, "alpha text"), (2, "beta text")],
+        [(3, "ALPHA  text"), (4, "gamma text")],   # 3 dups 1
+        [(5, "beta TEXT"), (6, "delta text")],     # 5 dups 2
+    ]
+    schema = "doc_id int, text string"
+    in_dir = tmp_path / "ing_in"
+    in_dir.mkdir()
+    out_dir, cp = str(tmp_path / "ing_out"), str(tmp_path / "ing_cp")
+    for i, rows in enumerate(batches):
+        tmp = tmp_path / f"ib{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(tmp))
+        src = next(p for p in tmp.iterdir() if p.name.endswith(".parquet"))
+        dst = in_dir / f"{i}.parquet"
+        src.rename(dst)
+        os.utime(dst, (3_000_000 + i * 1000, 3_000_000 + i * 1000))
+
+    q = dedup_ingest(spark, str(in_dir), out_dir, cp, schema,
+                     max_files_per_trigger=1)
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert got == {1, 2, 4, 6}
+
+    q2 = dedup_ingest(spark, str(in_dir), out_dir, cp, schema,
+                      max_files_per_trigger=1)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 4
+
+
 def test_sessionize_stream_matches_batch(spark, tmp_path):
     """applyInPandasWithState sessionization across MULTIPLE micro-batches
     (state carry-over) equals the batch window sessionization."""
