@@ -279,7 +279,37 @@ N_CENTROIDS = 16
 N_PROBE = 2
 
 
-def ivf_assignments(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
+def ivf_kmeans_centroids(emb: DataFrame, n_centroids: int = N_CENTROIDS,
+                         seed: int = 42) -> DataFrame:
+    """Spark-ML KMeans coarse quantizer: (cell_id, cent) for ``ivf_topk``.
+
+    The production-quality replacement for the deterministic lowest-id
+    stand-in — same output contract, so it slots into
+    ``ivf_assignments(cents=...)`` unchanged.  Not DuckDB-oracle
+    expressible (iterative ML fit); covered by a differential recall test
+    against the stand-in instead.  The fit itself is distributed
+    (kmeans|| init); only the n_centroids cluster centers come back to
+    the driver, and they return as a DataFrame so the scoring pass stays
+    a broadcast.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>"))
+        .alias("features"),
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(vecs)
+    rows = [(i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())]
+    return emb.sparkSession.createDataFrame(
+        rows, "cell_id int, cent array<float>"
+    )
+
+
+def ivf_assignments(emb: DataFrame, n_centroids: int = N_CENTROIDS,
+                    cents: DataFrame | None = None) -> DataFrame:
     """Coarse-quantizer cell scores: (vec_id, cell_id, csim, crank).
 
     Centroids are the ``n_centroids`` lowest-vec_id vectors — a
@@ -293,10 +323,12 @@ def ivf_assignments(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame
     """
     from pyspark.sql import Window
 
-    cents = (
-        emb.orderBy("vec_id").limit(n_centroids)
-        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cent"))
-    )
+    if cents is None:
+        cents = (
+            emb.orderBy("vec_id").limit(n_centroids)
+            .select(F.col("vec_id").alias("cell_id"),
+                    F.col("embedding").alias("cent"))
+        )
     csim = F.round(
         _dot(F.col("embedding"), F.col("cent"))
         / (_norm(F.col("embedding")) * _norm(F.col("cent"))), 9
@@ -311,7 +343,8 @@ def ivf_assignments(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame
 
 
 def ivf_topk(emb: DataFrame, k: int = 10, query_mod: int = 25,
-             n_centroids: int = N_CENTROIDS, n_probe: int = N_PROBE) -> DataFrame:
+             n_centroids: int = N_CENTROIDS, n_probe: int = N_PROBE,
+             cents: DataFrame | None = None) -> DataFrame:
     """IVF top-k ANN: coarse cells -> inverted lists -> n_probe cell scan.
 
     The IVF scale path next to ``lsh_search``: each vector lands in its
@@ -324,7 +357,7 @@ def ivf_topk(emb: DataFrame, k: int = 10, query_mod: int = 25,
     """
     from pyspark.sql import Window
 
-    asg = ivf_assignments(emb, n_centroids)
+    asg = ivf_assignments(emb, n_centroids, cents=cents)
     lists = (
         asg.filter(F.col("crank") == 1)
         .select(F.col("vec_id").alias("neighbor_id"), "cell_id")

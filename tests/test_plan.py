@@ -269,6 +269,25 @@ def test_ivf_topk_recall_vs_exact(spark):
     assert recall >= 0.2, f"IVF recall@10 collapsed: {recall:.3f}"
 
 
+def test_ivf_kmeans_quantizer_slots_in(spark):
+    """The Spark-ML KMeans quantizer drops into ivf_topk unchanged and
+    retains usable recall vs the exact baseline (the lowest-id stand-in
+    is the oracle-matched fixture; KMeans is the production quantizer)."""
+    from ocrspark.ops import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact_rows = similarity.cosine_topk(emb, k=10).collect()
+    exact = {(r.query_id, r.neighbor_id) for r in exact_rows}
+    cents = similarity.ivf_kmeans_centroids(emb, n_centroids=8, seed=42)
+    km = similarity.ivf_topk(emb, k=10, n_probe=2, cents=cents).collect()
+    km_pairs = {(r.query_id, r.neighbor_id) for r in km}
+    assert {r.query_id for r in km} == {r.query_id for r in exact_rows}
+    recall = len(km_pairs & exact) / len(exact)
+    # 2/8 cells probed; k-means cells concentrate true neighbors far above
+    # the 25% random floor, but keep the bound host-stable
+    assert recall >= 0.25, f"kmeans-IVF recall collapsed: {recall:.3f}"
+
+
 def test_multiprobe_recall_dominates_single_probe(spark):
     """Hamming-1 probing must not lose any single-probe candidate and must
     raise (or equal) recall@k against the exact baseline."""
