@@ -65,3 +65,33 @@ def test_single_doc_all_noise(spark):
     docs = spark.createDataFrame([{"doc_id": "noise", "spans": spans}], DOCS_SCHEMA)
     assert extract(docs).count() == 0
     assert pyref.extract_doc("noise", [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]).tasks == []
+
+
+def test_curation_ops_partition_invariant(spark):
+    """The curation ops' outputs must be pure functions of the data —
+    identical under arbitrary repartitioning of the input (no dependence
+    on partition count, row order, or physical layout)."""
+    from ocrspark.ops import dedup, sampling, similarity, textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    docs_r = docs.repartition(13)
+    emb_r = emb.repartition(7)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    pairs = dedup.ngram_jaccard_dedup(docs, threshold=0.2)
+    pairs_r = dedup.ngram_jaccard_dedup(docs_r, threshold=0.2)
+    assert rows(pairs) == rows(pairs_r)
+    assert rows(dedup.components(pairs.select("doc1", "doc2"))) == \
+        rows(dedup.components(pairs_r.select("doc1", "doc2")))
+    assert rows(similarity.ivf_topk(emb)) == rows(similarity.ivf_topk(emb_r))
+    assert rows(textstats.tfidf_topterms(docs, k=3)) == \
+        rows(textstats.tfidf_topterms(docs_r, k=3))
+    withtok = docs.withColumn(
+        "n_tokens", F.regexp_count(F.col("text"), F.lit(r"\S+")))
+    withtok_r = docs_r.withColumn(
+        "n_tokens", F.regexp_count(F.col("text"), F.lit(r"\S+")))
+    assert rows(sampling.pack_shards(withtok)) == \
+        rows(sampling.pack_shards(withtok_r))
