@@ -28,6 +28,29 @@ def _words(text_col):
     return F.regexp_extract_all(F.lower(text_col), F.lit(r"[a-z0-9]+"), 0)
 
 
+def cap_by_key(df: DataFrame, keys: list[str], max_n: int,
+               min_n: int = 1) -> DataFrame:
+    """Keep only rows whose key-group size lies in [min_n, max_n] — the
+    hot-key cap, computed WITHOUT a hot-key shuffle.
+
+    The naive shape (``count().over(Window.partitionBy(keys))``) does no
+    partial aggregation and AQE cannot split a single hot key for a
+    window, so at corpus scale the one boilerplate key with 10^9 rows
+    lands on ONE task in the capping pass itself — exactly the
+    straggler/OOM the cap exists to prevent.  Here sizes come from a
+    ``groupBy(keys).count()``: map-side partial aggregation collapses a
+    hot key to one row per input partition before any shuffle, the in-cap
+    key list is filtered FIRST (hot keys never reach the join's small
+    side), and the join back is an equi-join AQE can broadcast (small
+    in-cap list) or skew-split.  Same row semantics as the window form.
+    """
+    sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_keyn"))
+    in_cap = sizes.filter(
+        (F.col("_keyn") >= min_n) & (F.col("_keyn") <= max_n)
+    ).select(*keys)
+    return df.join(in_cap, keys)
+
+
 def canonical_fp(text_col):
     """THE exact-dup key: md5 of lowercased whitespace-squeezed text.
 
@@ -98,14 +121,11 @@ def lsh_candidate_pairs(signatures: DataFrame,
     million-doc bucket is O(10^12) pairs.  Buckets larger than ``max_bucket``
     are EXCLUDED from the pair join (the cap is explicit, not silent: use
     ``oversized_buckets`` to route them to exact-group handling, which is
-    what a boilerplate cluster actually needs).  The count window shuffles on
-    the same key as the join, so AQE coalesces it into the join exchange.
+    what a boilerplate cluster actually needs).  Sizes come from
+    ``cap_by_key`` (groupBy partial agg + join-back), so the capping pass
+    itself cannot straggle on the hot bucket it is dropping.
     """
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band_id", "band_key")
-    sized = signatures.withColumn("bsz", F.count(F.lit(1)).over(w))
-    kept = sized.filter(F.col("bsz") <= max_bucket).drop("bsz")
+    kept = cap_by_key(signatures, ["band_id", "band_key"], max_bucket)
     a = kept.alias("a")
     b = kept.alias("b")
     return (
@@ -185,17 +205,14 @@ def ngram_jaccard_dedup(docs: DataFrame, text_col: str = "text",
     — ubiquitous boilerplate shingles carry no signal and are excluded;
     a pair is missed only if ALL its shared shingles are corpus-hot,
     which at jaccard>=0.5 means boilerplate best handled by
-    ``exact_groups``).  df is computed by a window over the same key the
-    join shuffles on, so AQE coalesces the exchanges.
+    ``exact_groups``).  Document frequency comes from ``cap_by_key``
+    (groupBy partial agg + join-back): the df pass itself collapses a
+    corpus-hot shingle map-side instead of shuffling every occurrence to
+    one task.
     """
-    from pyspark.sql import Window
-
     sh = shingles(docs, text_col)
-    w = Window.partitionBy("shingle")
-    rare = (
-        sh.withColumn("df", F.count(F.lit(1)).over(w))
-        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
-        .select("doc_id", "shingle")
+    rare = cap_by_key(sh, ["shingle"], max_df, min_n=2).select(
+        "doc_id", "shingle"
     )
     a = rare.select(F.col("doc_id").alias("doc1"), "shingle")
     b = rare.select(F.col("doc_id").alias("doc2"), "shingle")
@@ -368,10 +385,9 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text",
     SIMHASH_BLOCKS - 1 by pigeonhole) -> verify with bit_count(xor) <=
     max_hamming.  Never all-pairs; hot block values (common in boilerplate
     clusters) are capped like the MinHash bands (explicit, not silent —
-    route oversized buckets to exact-group handling).
+    route oversized buckets to exact-group handling; ``cap_by_key`` keeps
+    the capping pass itself skew-safe).
     """
-    from pyspark.sql import Window
-
     sh = simhash(docs, text_col)
     blocks = sh.select(
         "doc_id",
@@ -389,10 +405,7 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text",
     ).select("doc_id", "simhash",
              F.col("b.block_id").alias("block_id"),
              F.col("b.block_val").alias("block_val"))
-    w = Window.partitionBy("block_id", "block_val")
-    capped = blocks.withColumn("bsz", F.count(F.lit(1)).over(w)).filter(
-        F.col("bsz") <= max_bucket
-    ).drop("bsz")
+    capped = cap_by_key(blocks, ["block_id", "block_val"], max_bucket)
     a = capped.select(F.col("doc_id").alias("doc1"),
                       F.col("simhash").alias("sh1"), "block_id", "block_val")
     b = capped.select(F.col("doc_id").alias("doc2"),

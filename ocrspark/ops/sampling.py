@@ -95,12 +95,12 @@ def decontaminate(docs: DataFrame, text_col: str = "text",
     the eval-side and train-side shingle sets — never all-pairs; grams
     hotter than ``max_df`` documents carry no leakage signal (ubiquitous
     boilerplate) and are excluded by the same explicit df-cap policy as
-    the dedup candidate joins.  Split assignment is the deterministic
-    hash split, so the report is reproducible by construction.
+    the dedup candidate joins (``cap_by_key``: groupBy partial agg +
+    join-back, so the df pass itself cannot straggle on a hot gram).
+    Split assignment is the deterministic hash split, so the report is
+    reproducible by construction.
     """
-    from pyspark.sql import Window
-
-    from .dedup import shingles
+    from .dedup import cap_by_key, shingles
 
     split = deterministic_split(docs)
     sh = (
@@ -109,10 +109,7 @@ def decontaminate(docs: DataFrame, text_col: str = "text",
         .select("doc_id", "split", "h")
         .distinct()
     )
-    w = Window.partitionBy("h")
-    capped = sh.withColumn("df", F.count(F.lit(1)).over(w)).filter(
-        F.col("df") <= max_df
-    )
+    capped = cap_by_key(sh, ["h"], max_df)
     ev = capped.filter(F.col("split") != "train").select(
         F.col("doc_id").alias("test_doc"), "h"
     )

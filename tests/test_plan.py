@@ -106,6 +106,51 @@ def test_ngram_jaccard_matches_uncapped_ground_truth(spark):
     assert len(exhaustive) > 0
 
 
+def test_hotkey_caps_use_partial_agg_not_window(spark):
+    """The df/bucket caps must be skew-safe IN THEMSELVES: sizes computed
+    by groupBy (HashAggregate with partial_count before the exchange, so a
+    hot key collapses map-side) and joined back — never by a count window
+    over the raw key (no partial agg; AQE cannot split one hot key for a
+    window, so the capping pass would straggle on exactly the key it
+    drops).  Covers all four capped candidate generators."""
+    from ocrspark.ops import dedup, sampling
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"words number {i} shared filler tokens for shingles "
+                   f"{i % 7} more content") for i in range(40)],
+        "doc_id string, text string",
+    )
+    for df in [
+        dedup.minhash_dedup(docs, threshold=0.2),
+        dedup.ngram_jaccard_dedup(docs, threshold=0.2),
+        dedup.simhash_near_dups(docs),
+        sampling.decontaminate(docs),
+    ]:
+        plan = _plan(df)
+        assert "Window" not in plan, plan
+        assert "partial_count" in plan, plan
+
+
+def test_cap_by_key_equals_window_form(spark):
+    """cap_by_key's join-back must keep exactly the rows the window form
+    kept — including min_n (rare-shingle lower bound) semantics."""
+    from pyspark.sql import Window
+
+    from ocrspark.ops import dedup
+
+    rows = [(i, f"k{i % 5}") for i in range(60)] + [(100 + i, "hot") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, k string")
+    w = Window.partitionBy("k")
+    for min_n, max_n in [(1, 20), (2, 12), (13, 40)]:
+        want = {(r.doc_id, r.k) for r in
+                df.withColumn("n", F.count(F.lit(1)).over(w))
+                .filter((F.col("n") >= min_n) & (F.col("n") <= max_n))
+                .drop("n").collect()}
+        got = {(r.doc_id, r.k) for r in
+               dedup.cap_by_key(df, ["k"], max_n, min_n=min_n).collect()}
+        assert got == want, (min_n, max_n)
+
+
 def test_cosine_topk_query_side_is_bounded(spark):
     """Contract: cosine_topk's broadcast side is runtime-capped in-plan —
     a corpus-sized query set raises instead of OOMing the broadcast — and
