@@ -225,6 +225,36 @@ def ngram_jaccard_dedup(docs: DataFrame, text_col: str = "text",
     return jaccard_verify(pairs, sh, threshold)
 
 
+def _tracked_local_ckpt(df: DataFrame):
+    """``localCheckpoint(eager=True)`` plus the ids of the RDD blocks it
+    pinned, so iterative callers can free the PREVIOUS round's blocks
+    deterministically.
+
+    localCheckpoint caches its RDD until the ContextCleaner happens to GC
+    the JVM-side reference; across a 25-round loop that accumulates up to
+    25 copies of the label/edge set in executor storage.  NEVER unpersist
+    the round you are still using: a localCheckpointed RDD has no lineage,
+    so unpersisting it loses the data (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on
+    next access) — only blocks of a round that has been fully superseded
+    (its successor eagerly materialized, its convergence check counted)
+    are safe to drop.
+    """
+    sc = df.sparkSession.sparkContext
+    before = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    out = df.localCheckpoint(eager=True)
+    after = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    return out, after - before
+
+
+def _unpersist_tracked(spark_session, ids) -> None:
+    """Free blocks recorded by ``_tracked_local_ckpt`` (non-blocking)."""
+    m = spark_session.sparkContext._jsc.getPersistentRDDs()
+    for i in ids:
+        r = m.get(i)
+        if r is not None:
+            r.unpersist(False)
+
+
 def components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Duplicate clusters from near-dup pairs: (doc_id, rep_id, cluster_size).
 
@@ -241,32 +271,39 @@ def components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     equi-join + groupBy on node id (co-partitioned after the first AQE
     round); the per-round driver action is a 1-row convergence count, not
     row data.  localCheckpoint truncates lineage so plans stay constant
-    per round.
+    per round; each round's blocks are freed once the next round has
+    materialized and been convergence-checked (storage stays O(1) in
+    rounds, not O(max_iter)).
     """
-    edges = (
+    spark = pairs.sparkSession
+    edges, edge_ids = _tracked_local_ckpt(
         pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
         .union(pairs.select(F.col("doc2").alias("a"), F.col("doc1").alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
         "lab", F.col("node")
     )
+    prev_ids: set[int] = set()
     changed = 1
     for _ in range(max_iter):
         neighbor = (
             edges.join(labels, edges["a"] == labels["node"])
             .select(F.col("b").alias("node"), "lab")
         )
-        new_labels = (
+        new_labels, new_ids = _tracked_local_ckpt(
             labels.union(neighbor).groupBy("node").agg(F.min("lab").alias("lab"))
-        ).localCheckpoint(eager=True)
+        )
         changed = (
             new_labels.join(labels.withColumnRenamed("lab", "old"), "node")
             .filter(F.col("lab") != F.col("old"))
             .limit(1)
             .count()
         )
+        # the old round is now fully superseded (successor materialized,
+        # convergence counted) — its blocks are dead weight
+        _unpersist_tracked(spark, prev_ids)
+        prev_ids = new_ids
         labels = new_labels
         if changed == 0:
             break
@@ -280,6 +317,9 @@ def components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             "diameter exceeds max_iter; raise max_iter or use "
             "components_star (logarithmic rounds)"
         )
+    # the result depends only on the FINAL labels checkpoint; the edge set
+    # is loop-internal and can be freed now
+    _unpersist_tracked(spark, edge_ids)
     sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "lab").select(
         F.col("node").alias("doc_id"),
@@ -334,19 +374,26 @@ def components_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     round is two groupBy/join passes on node id, and convergence is an
     edge-set fixpoint check (two anti-join counts), not data collection.
     """
-    e = pairs.select(
-        F.col("doc1").alias("u"), F.col("doc2").alias("v")
-    ).filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
-    nodes = _sym(e).select("u").distinct()
+    spark = pairs.sparkSession
+    e, prev_ids = _tracked_local_ckpt(
+        pairs.select(F.col("doc1").alias("u"), F.col("doc2").alias("v"))
+        .filter(F.col("u") != F.col("v")).distinct()
+    )
+    # nodes must be materialized NOW: it derives from the round-0 edge
+    # checkpoint, whose blocks are freed as soon as round 1 supersedes it
+    nodes, _node_ids = _tracked_local_ckpt(_sym(e).select("u").distinct())
     stable = False
     for _ in range(max_iter):
-        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_e, new_ids = _tracked_local_ckpt(_small_star(_large_star(e)))
         norm_old = e.select(F.greatest("u", "v").alias("u"),
                             F.least("u", "v").alias("v")).distinct()
         norm_new = new_e.select(F.greatest("u", "v").alias("u"),
                                 F.least("u", "v").alias("v")).distinct()
         stable = (norm_new.exceptAll(norm_old).limit(1).count() == 0
                   and norm_old.exceptAll(norm_new).limit(1).count() == 0)
+        # old round superseded (successor materialized, fixpoint checked)
+        _unpersist_tracked(spark, prev_ids)
+        prev_ids = new_ids
         e = new_e
         if stable:
             break

@@ -262,6 +262,30 @@ def test_boilerplate_cluster_routes_to_exact_dedup(spark):
     assert groups[0].dup_count == 200 and groups[0].keep_doc_id == 0
 
 
+def test_components_checkpoint_storage_is_bounded(spark):
+    """Per-round localCheckpoint blocks must be freed as rounds supersede
+    each other: a diameter-15 path forces ~15 propagation rounds, but the
+    net growth in persistent RDDs after the run is O(1) (final labels +
+    nodes), not O(rounds) — the round-3 ADVICE storage-accumulation fix."""
+    from ocrspark.ops import dedup
+
+    sc = spark.sparkContext
+
+    def n_persistent():
+        return len(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 16)], "doc1 int, doc2 int"
+    )
+    for fn in (dedup.components, dedup.components_star):
+        base = n_persistent()
+        out = fn(path).collect()
+        assert {(r.doc_id, r.rep_id, r.cluster_size) for r in out} \
+            == {(n, 1, 16) for n in range(1, 17)}
+        growth = n_persistent() - base
+        assert growth <= 2, f"{fn.__name__} leaked {growth} checkpoints"
+
+
 def test_components_star_equals_propagation(spark):
     """large-star/small-star (the O(log^2 n)-round scale path) must produce
     exactly the labels of plain min-label propagation — on a multi-round
