@@ -186,11 +186,50 @@ def dedup_stream(docs: DataFrame, ts_col: str = "ingested_at",
     return keyed.dropDuplicates(["fp"])
 
 
-def dedup_ingest(spark: SparkSession, input_dir: str, out_dir: str,
+def _dir_has_files(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists and contains at least one file — the ONLY
+    condition under which 'nothing landed yet' may be assumed.  Any other
+    read problem (corrupt footer, transient FS error, permissions) must
+    fail the micro-batch so the streaming checkpoint retries it, instead
+    of silently re-appending duplicates."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        it.next()
+        return True
+    return False
+
+
+def landed_anti_join(keyed: DataFrame, landed: DataFrame,
+                     bucketed: bool = False) -> DataFrame:
+    """Anti-join the micro-batch against the landed corpus keys.
+
+    ``bucketed=True`` pins a sort-merge join so a landed table bucketed by
+    fp is scanned IN PLACE: the landed side needs no exchange, only the
+    (small) micro-batch shuffles into the bucket layout — per-batch cost
+    O(batch), not O(history) (plan-asserted in test_streaming_metrics).
+    The non-bucketed parquet path leaves the strategy to Catalyst (a small
+    history is best broadcast)."""
+    keys = landed.select("fp")
+    if bucketed:
+        keys = keys.hint("merge")
+    return keyed.join(keys, "fp", "left_anti")
+
+
+LANDED_BUCKETS = 16  # partitioning.DEFAULT_BUCKETS; the history-scale knob
+
+
+def dedup_ingest(spark: SparkSession, input_dir: str, out_dir: str | None,
                  checkpoint_dir: str, schema: str,
-                 max_files_per_trigger: int = 64):
+                 max_files_per_trigger: int = 64,
+                 landed_table: str | None = None,
+                 landed_buckets: int = LANDED_BUCKETS):
     """FULL-history streaming dedup: survivors of each micro-batch are the
-    docs whose canonical fingerprint has never landed in ``out_dir``.
+    docs whose canonical fingerprint has never landed.
 
     The complement of ``dedup_stream``: that one bounds state by a
     watermark horizon; this one is exact against all history by
@@ -198,12 +237,29 @@ def dedup_ingest(spark: SparkSession, input_dir: str, out_dir: str,
     streaming state at all — the output IS the state).  Replay-safe by
     the same construction: a micro-batch re-run after a crash anti-joins
     against whatever its first attempt already appended, so re-appends
-    only what is missing.  At 100 TB the landed side should be the
-    fingerprint column of a bucketed table (bucketed by fp → the per-batch
-    anti-join shuffles only the small batch side; see
-    partitioning.write_bucketed); here it is the output parquet directly.
+    only what is missing.
+
+    Landed side, two shapes:
+
+    * ``landed_table`` set (the 100 TB path): the corpus is a Spark table
+      bucketed+sorted by fp (``partitioning.write_bucketed`` layout, one
+      append per batch).  The anti-join then shuffles ONLY the micro-batch
+      side — per-batch cost O(batch), independent of history size.
+    * ``landed_table`` None: the corpus is ``out_dir`` parquet; each batch
+      re-reads the fingerprint column of the full history (fine for small
+      corpora; the bucketed table is the scale default).
+
+    Error policy: 'first batch' is established positively (the landed
+    location verifiably has no data yet).  Any read failure on an
+    existing corpus — corrupt footer, transient FS error, permissions —
+    propagates and FAILS the micro-batch, so the checkpoint retries it;
+    it is never treated as an empty history (that would silently append
+    duplicates, the one wrong-data error path round 3 flagged).
     """
     from .ops.dedup import canonical_fp
+
+    if (out_dir is None) == (landed_table is None):
+        raise ValueError("exactly one of out_dir / landed_table is required")
 
     stream = (
         spark.readStream.schema(schema)
@@ -212,16 +268,21 @@ def dedup_ingest(spark: SparkSession, input_dir: str, out_dir: str,
     )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
         keyed = batch_df.withColumn(
             "fp", canonical_fp(F.col("text"))
         ).dropDuplicates(["fp"])
-        try:
-            landed = batch_df.sparkSession.read.parquet(out_dir)\
-                .select("fp").distinct()
-            keyed = keyed.join(landed, "fp", "left_anti")
-        except Exception:
-            pass  # first batch: nothing landed yet
-        keyed.write.mode("append").parquet(out_dir)
+        if landed_table is not None:
+            if ss.catalog.tableExists(landed_table):
+                keyed = landed_anti_join(keyed, ss.table(landed_table),
+                                         bucketed=True)
+            (keyed.write.mode("append").format("parquet")
+             .bucketBy(landed_buckets, "fp").sortBy("fp")
+             .saveAsTable(landed_table))
+        else:
+            if _dir_has_files(ss, out_dir):
+                keyed = landed_anti_join(keyed, ss.read.parquet(out_dir))
+            keyed.write.mode("append").parquet(out_dir)
 
     return (
         stream.writeStream.foreachBatch(_process)

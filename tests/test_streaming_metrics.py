@@ -122,6 +122,108 @@ def test_dedup_ingest_full_history(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == 4
 
 
+def _stage_batches(spark, tmp_path, in_dir, batches, schema):
+    """Write each batch as one input file with increasing mtimes (the
+    file-source picks them up as separate micro-batches)."""
+    in_dir.mkdir(exist_ok=True)
+    base = len(list(in_dir.glob("*.parquet")))
+    for j, rows in enumerate(batches):
+        i = base + j
+        tmp = tmp_path / f"stage_{in_dir.name}_{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(tmp))
+        src = next(p for p in tmp.iterdir() if p.name.endswith(".parquet"))
+        dst = in_dir / f"{i}.parquet"
+        src.rename(dst)
+        os.utime(dst, (3_000_000 + i * 1000, 3_000_000 + i * 1000))
+
+
+def test_dedup_ingest_corrupt_landed_fails_loudly(spark, tmp_path):
+    """A landed corpus that EXISTS but cannot be read must fail the
+    micro-batch (checkpoint retries it) — never be treated as 'first
+    batch', which would silently re-append duplicates (the round-3
+    wrong-data error path).  A verifiably absent/empty landed dir is the
+    only 'first batch' condition."""
+    import pytest
+
+    from ocrspark.streaming import dedup_ingest
+
+    schema = "doc_id int, text string"
+    in_dir = tmp_path / "cor_in"
+    _stage_batches(spark, tmp_path, in_dir,
+                   [[(1, "alpha text"), (2, "beta text")]], schema)
+    out_dir, cp = str(tmp_path / "cor_out"), str(tmp_path / "cor_cp")
+    q = dedup_ingest(spark, str(in_dir), out_dir, cp, schema)
+    q.awaitTermination(120)
+    n_landed = spark.read.parquet(out_dir).count()
+    assert n_landed == 2
+
+    # corrupt the landed corpus, then feed a new micro-batch
+    files_before = {p.name for p in (tmp_path / "cor_out").iterdir()
+                    if p.name.endswith(".parquet")}
+    for p in (tmp_path / "cor_out").iterdir():
+        if p.name.endswith(".parquet"):
+            p.write_bytes(b"not a parquet footer")
+    _stage_batches(spark, tmp_path, in_dir,
+                   [[(3, "ALPHA  text"), (4, "gamma text")]], schema)
+    # fresh checkpoint so the corrupted corpus is consulted again
+    q2 = dedup_ingest(spark, str(in_dir), out_dir,
+                      str(tmp_path / "cor_cp2"), schema,
+                      max_files_per_trigger=2)
+    with pytest.raises(Exception):
+        q2.awaitTermination(120)
+        if q2.exception() is not None:
+            raise q2.exception()
+    # nothing was appended on the failed path
+    files_after = {p.name for p in (tmp_path / "cor_out").iterdir()
+                   if p.name.endswith(".parquet")}
+    assert files_after == files_before
+
+
+def test_dedup_ingest_bucketed_landed(spark, tmp_path):
+    """The scale path: landed corpus as an fp-bucketed table.  Same
+    first-seen-wins semantics as the parquet path, replay-safe, and the
+    per-batch anti-join plan shuffles ONLY the batch side (the bucketed
+    landed scan has no Exchange above it) — per-batch cost O(batch), not
+    O(history)."""
+    import re
+
+    from ocrspark.ops.dedup import canonical_fp
+    from ocrspark.streaming import dedup_ingest, landed_anti_join
+
+    schema = "doc_id int, text string"
+    in_dir = tmp_path / "bkt_in"
+    _stage_batches(spark, tmp_path, in_dir, [
+        [(1, "alpha text"), (2, "beta text")],
+        [(3, "ALPHA  text"), (4, "gamma text")],   # 3 dups 1
+        [(5, "beta TEXT"), (6, "delta text")],     # 5 dups 2
+    ], schema)
+    cp = str(tmp_path / "bkt_cp")
+    table = "landed_ingest_t"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        q = dedup_ingest(spark, str(in_dir), None, cp, schema,
+                         max_files_per_trigger=1, landed_table=table)
+        q.awaitTermination(120)
+        assert {r.doc_id for r in spark.table(table).collect()} == {1, 2, 4, 6}
+
+        # replay with the same checkpoint: nothing new lands
+        q2 = dedup_ingest(spark, str(in_dir), None, cp, schema,
+                          max_files_per_trigger=1, landed_table=table)
+        q2.awaitTermination(120)
+        assert spark.table(table).count() == 4
+
+        # plan contract: one Exchange total (batch side), none above the
+        # bucketed landed scan
+        batch = spark.createDataFrame([(9, "epsilon text")], schema)
+        keyed = batch.withColumn("fp", canonical_fp(F.col("text")))
+        plan = (landed_anti_join(keyed, spark.table(table), bucketed=True)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan, plan
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_sessionize_stream_matches_batch(spark, tmp_path):
     """applyInPandasWithState sessionization across MULTIPLE micro-batches
     (state carry-over) equals the batch window sessionization."""
