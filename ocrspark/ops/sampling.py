@@ -12,8 +12,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SPLITS = [("train", 9800), ("val", 100), ("test", 100)]  # basis points
-PACK_BUCKETS = 64
+PACK_BUCKETS = 64  # fixture/oracle default; pass n_buckets=None to scale
 PACK_BUDGET = 8192  # tokens per shard
+PACK_TARGET_DOCS_PER_BUCKET = 262_144  # auto mode: ~256k docs/bucket
 
 
 def _hash_bp(key_col):
@@ -45,7 +46,7 @@ def deterministic_split(docs: DataFrame, key_col: str = "doc_id",
 
 def pack_shards(docs: DataFrame, key_col: str = "doc_id",
                 tokens_col: str = "n_tokens",
-                n_buckets: int = PACK_BUCKETS,
+                n_buckets: int | None = PACK_BUCKETS,
                 budget: int = PACK_BUDGET) -> DataFrame:
     """Concat-and-chunk sequence packing into fixed-token-budget shards.
 
@@ -60,8 +61,21 @@ def pack_shards(docs: DataFrame, key_col: str = "doc_id",
     offset there.  A pre-row running sum over one window = one shuffle;
     no sequential state, so the closed form is exact (greedy-with-burn
     packing would need a per-bucket fold and wastes tail capacity).
+
+    ``n_buckets`` is the parallelism knob AND part of the output contract
+    (assignments change with it, so pin it for reproducible corpora).
+    ``n_buckets=None`` derives it from corpus size —
+    ceil(n_docs / PACK_TARGET_DOCS_PER_BUCKET), one 1-row count — so a
+    10^12-doc corpus gets ~4M packing streams instead of a fixed 64-way
+    ceiling on the packing sort.
     """
+    import math
+
     from pyspark.sql import Window
+
+    if n_buckets is None:
+        n_docs = docs.agg(F.count(F.lit(1))).first()[0]
+        n_buckets = max(1, math.ceil(n_docs / PACK_TARGET_DOCS_PER_BUCKET))
 
     h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10)\
         .cast("long")

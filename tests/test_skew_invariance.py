@@ -93,5 +93,28 @@ def test_curation_ops_partition_invariant(spark):
         "n_tokens", F.regexp_count(F.col("text"), F.lit(r"\S+")))
     withtok_r = docs_r.withColumn(
         "n_tokens", F.regexp_count(F.col("text"), F.lit(r"\S+")))
-    assert rows(sampling.pack_shards(withtok)) == \
-        rows(sampling.pack_shards(withtok_r))
+    # packing: invariant under repartitioning at BOTH bucket counts (the
+    # bucket count is part of the output contract, so each count is its
+    # own deterministic contract)
+    for nb in (16, 64):
+        assert rows(sampling.pack_shards(withtok, n_buckets=nb)) == \
+            rows(sampling.pack_shards(withtok_r, n_buckets=nb))
+
+
+def test_pack_shards_auto_bucket_count(spark):
+    """n_buckets=None derives the packing parallelism from corpus size
+    (ceil(n / target)) instead of the fixed 64-way ceiling, and matches
+    the explicit-count output for the derived value."""
+    from ocrspark.ops import sampling
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).withColumn("n_tokens", F.regexp_count(F.col("text"), F.lit(r"\S+")))
+    n = docs.count()
+    import math
+    expect_nb = max(1, math.ceil(n / sampling.PACK_TARGET_DOCS_PER_BUCKET))
+    auto = sampling.pack_shards(docs, n_buckets=None)
+    explicit = sampling.pack_shards(docs, n_buckets=expect_nb)
+    assert sorted(tuple(r) for r in auto.collect()) == \
+        sorted(tuple(r) for r in explicit.collect())
+    assert auto.agg(F.countDistinct("pack_bucket")).first()[0] <= expect_nb
