@@ -342,9 +342,95 @@ def ivf_assignments(emb: DataFrame, n_centroids: int = N_CENTROIDS,
     return scored.withColumn("crank", F.row_number().over(w))
 
 
+def ivf_assignments_two_level(emb: DataFrame,
+                              n_centroids: int = N_CENTROIDS,
+                              cents: DataFrame | None = None,
+                              n_groups: int | None = None,
+                              probe_groups: int = 2) -> DataFrame:
+    """Hierarchical coarse assignment — the build-pass scale path.
+
+    The flat ``ivf_assignments`` scores every vector against every
+    centroid: O(n*k) dot products, which at the docstring's own
+    "n_centroids ~ sqrt(|C|)" regime (10^6 cells for 10^12 vectors) is
+    10^18 products in the build pass.  Standard IVF practice at that k is
+    a two-level assign: centroids are themselves grouped under
+    ``n_groups`` (default ceil(sqrt(k))) group leaders; a vector scores
+    the g leaders, descends into its ``probe_groups`` closest groups, and
+    scores only the ~k/g centroids there — O(n*(g + probe_groups*k/g)) =
+    O(n*sqrt(k)) per pass, at a small assignment-recall cost (the true
+    nearest centroid can live in an unprobed group; raise probe_groups to
+    trade cost for fidelity).
+
+    Same output contract as ``ivf_assignments`` ((vec_id, cell_id, csim,
+    crank), crank within the scanned subset), so it slots into
+    ``ivf_topk(two_level=True)`` unchanged.  Leaders are the lowest-id
+    centroids (deterministic, engine-portable); centroid->group and
+    vector->leader scoring broadcast only the g-row leader table, and the
+    vector->centroid pass is an equi-join on group_id (AQE-splittable),
+    never n x k.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    if cents is None:
+        cents = (
+            emb.orderBy("vec_id").limit(n_centroids)
+            .select(F.col("vec_id").alias("cell_id"),
+                    F.col("embedding").alias("cent"))
+        )
+    if n_groups is None:
+        n_groups = max(1, math.isqrt(n_centroids))
+    leaders = (
+        cents.orderBy("cell_id").limit(n_groups)
+        .select(F.col("cell_id").alias("group_id"),
+                F.col("cent").alias("gcent"))
+    )
+    gsim = F.round(
+        _dot(F.col("cent"), F.col("gcent"))
+        / (_norm(F.col("cent")) * _norm(F.col("gcent"))), 9
+    )
+    wg = Window.partitionBy("cell_id").orderBy(
+        F.col("gsim").desc(), F.col("group_id").asc()
+    )
+    cent_groups = (
+        cents.crossJoin(F.broadcast(leaders))
+        .select("cell_id", "cent", "group_id", gsim.alias("gsim"))
+        .withColumn("grank", F.row_number().over(wg))
+        .filter(F.col("grank") == 1)
+        .select("group_id", "cell_id", "cent")
+    )
+    vgsim = F.round(
+        _dot(F.col("embedding"), F.col("gcent"))
+        / (_norm(F.col("embedding")) * _norm(F.col("gcent"))), 9
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.col("vgsim").desc(), F.col("group_id").asc()
+    )
+    vec_groups = (
+        emb.crossJoin(F.broadcast(leaders))
+        .select("vec_id", "embedding", "group_id", vgsim.alias("vgsim"))
+        .withColumn("vgrank", F.row_number().over(wv))
+        .filter(F.col("vgrank") <= probe_groups)
+        .select("vec_id", "embedding", "group_id")
+    )
+    csim = F.round(
+        _dot(F.col("embedding"), F.col("cent"))
+        / (_norm(F.col("embedding")) * _norm(F.col("cent"))), 9
+    )
+    scored = vec_groups.join(cent_groups, "group_id").select(
+        "vec_id", "cell_id", csim.alias("csim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cell_id").asc()
+    )
+    return scored.withColumn("crank", F.row_number().over(w))
+
+
 def ivf_topk(emb: DataFrame, k: int = 10, query_mod: int = 25,
              n_centroids: int = N_CENTROIDS, n_probe: int = N_PROBE,
-             cents: DataFrame | None = None) -> DataFrame:
+             cents: DataFrame | None = None,
+             two_level: bool = False, probe_groups: int = 2) -> DataFrame:
     """IVF top-k ANN: coarse cells -> inverted lists -> n_probe cell scan.
 
     The IVF scale path next to ``lsh_search``: each vector lands in its
@@ -354,10 +440,18 @@ def ivf_topk(emb: DataFrame, k: int = 10, query_mod: int = 25,
     instead of |C|.  At real scale n_centroids ~ sqrt(|C|) and lists are
     written partitioned by cell_id, so the probe join is partition-pruned;
     recall is tuned by n_probe.  Correctness baseline: ``cosine_topk``.
+
+    ``two_level=True`` swaps the O(n*k) flat coarse assignment for the
+    O(n*sqrt(k)) hierarchical one (``ivf_assignments_two_level``) — the
+    build-pass default once n_centroids is corpus-scale.
     """
     from pyspark.sql import Window
 
-    asg = ivf_assignments(emb, n_centroids, cents=cents)
+    if two_level:
+        asg = ivf_assignments_two_level(emb, n_centroids, cents=cents,
+                                        probe_groups=probe_groups)
+    else:
+        asg = ivf_assignments(emb, n_centroids, cents=cents)
     lists = (
         asg.filter(F.col("crank") == 1)
         .select(F.col("vec_id").alias("neighbor_id"), "cell_id")

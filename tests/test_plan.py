@@ -357,6 +357,48 @@ def test_ivf_kmeans_quantizer_slots_in(spark):
     assert recall >= 0.25, f"kmeans-IVF recall collapsed: {recall:.3f}"
 
 
+def test_ivf_two_level_assignment(spark):
+    """The hierarchical coarse assign must (a) score ~g + p*k/g cells per
+    vector instead of all k — at 256 centroids the flat build pass scores
+    8x more pairs — (b) compute EXACT sims for every cell it scans (flat
+    and two-level agree bit-for-bit on shared pairs), and (c) stay a
+    usable approximation of the flat assignment on weakly-clustered
+    synthetic vectors (crank-1 cell agreement; real corpora cluster
+    better, which only helps)."""
+    from ocrspark.ops import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n = emb.count()
+    k = 256
+    flat = similarity.ivf_assignments(emb, k)
+    two = similarity.ivf_assignments_two_level(emb, k, probe_groups=4)
+    # (a) cost: scored pairs shrink by ~k / (g + p*k/g) = ~3.2x at k=256
+    n_flat, n_two = flat.count(), two.count()
+    assert n_flat == n * k
+    assert n_two < n_flat / 3, (n_flat, n_two)
+    # (b) exactness on the scanned subset
+    fs = {(r.vec_id, r.cell_id): r.csim for r in flat.collect()}
+    ts = {(r.vec_id, r.cell_id): r.csim for r in two.collect()}
+    assert all(fs[p] == ts[p] for p in ts)
+    # (c) assignment fidelity + end-to-end contract via ivf_topk
+    f1 = {r.vec_id: r.cell_id
+          for r in flat.filter(F.col("crank") == 1).collect()}
+    t1 = {r.vec_id: r.cell_id
+          for r in two.filter(F.col("crank") == 1).collect()}
+    agree = sum(1 for v in f1 if t1.get(v) == f1[v]) / len(f1)
+    assert agree >= 0.6, f"two-level crank-1 agreement collapsed: {agree:.3f}"
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.cosine_topk(emb, k=10).collect()}
+    tl = similarity.ivf_topk(emb, k=10, n_centroids=k, n_probe=8,
+                             two_level=True, probe_groups=4).collect()
+    by_q = {}
+    for r in tl:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+    recall = len({(r.query_id, r.neighbor_id) for r in tl} & exact) / len(exact)
+    assert recall >= 0.2, f"two-level IVF recall collapsed: {recall:.3f}"
+
+
 def test_multiprobe_recall_dominates_single_probe(spark):
     """Hamming-1 probing must not lose any single-probe candidate and must
     raise (or equal) recall@k against the exact baseline."""
