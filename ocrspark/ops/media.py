@@ -53,11 +53,50 @@ def fake_decode(refs: pd.Series, payloads: pd.Series) -> pd.DataFrame:
 
 
 def real_decode(refs: pd.Series, payloads: pd.Series) -> pd.DataFrame:
-    """Placeholder for a real codec path (PIL/libvips on a cluster)."""
-    raise NotImplementedError(
-        "image codecs are not available in this environment; "
-        "pass decoder=fake_decode or provide a codec-backed decoder"
-    )
+    """Codec-backed decode when a codec is available (PIL probe).
+
+    Deterministic features from the REAL pixels: (width, height) from the
+    decoded image, n_bytes from the payload, feature = 8-bin grayscale
+    histogram (mass-normalized).  Reference parity: the pixel-domain
+    figure heuristics this feeds (monochrome test / contour crops,
+    /root/reference/scripts/extract_images.py:287-363) all start from
+    exactly these dims+histogram primitives.  The per-image decode loop
+    is the codec's own boundary — batching/vectorization lives at the
+    Arrow transfer around it (``extract_media_features``).
+
+    The sandbox ships no codecs, so absent PIL this raises
+    NotImplementedError (the documented seam); ``fake_decode`` is the
+    codec-free twin with identical schema.
+    """
+    try:
+        from PIL import Image
+    except ImportError as e:  # the sandbox case — seam stays honest
+        raise NotImplementedError(
+            "image codecs are not available in this environment; "
+            "pass decoder=fake_decode or provide a codec-backed decoder"
+        ) from e
+    import io
+
+    widths, heights, nbytes, feats = [], [], [], []
+    for payload in payloads:
+        if payload is None:
+            widths.append(None); heights.append(None)
+            nbytes.append(0); feats.append(None)
+            continue
+        img = Image.open(io.BytesIO(bytes(payload)))
+        widths.append(img.width)
+        heights.append(img.height)
+        nbytes.append(len(payload))
+        hist = np.asarray(img.convert("L").histogram(), dtype=np.float64)
+        bins = hist.reshape(8, 32).sum(axis=1)
+        feats.append((bins / max(bins.sum(), 1.0)).astype(np.float32))
+    return pd.DataFrame({
+        "media_ref": refs,
+        "width": pd.array(widths, dtype="Int32"),
+        "height": pd.array(heights, dtype="Int32"),
+        "n_bytes": pd.array(nbytes, dtype="Int64"),
+        "feature": feats,
+    })
 
 
 def extract_media_features(media: DataFrame, decoder=fake_decode) -> DataFrame:
