@@ -516,6 +516,17 @@ def _q_catalog_shape(spark, sf_dir):
     )
 
 
+def _q_catalog_json(spark, sf_dir):
+    """S7 final serialization: the exact per-subject exams.json document
+    (Spark ``to_json`` over the nested catalog), hash-compared BYTE-FOR-BYTE
+    against a DuckDB ordered-list/map JSON twin — key order, compact
+    separators, raw UTF-8, []-not-null empties all pinned
+    (object_handling.py:15-29 persists exactly this shape)."""
+    from ocrspark.catalog import to_json_catalog
+
+    return to_json_catalog(extract(_docs(spark)))
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal decode plumbing, payload-fed end to end: a deterministic
     binary payload table (media_ref, payload) — payload = unhex(repeat(
@@ -593,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_broadcast_region_join": _q_broadcast_join,
         "w5_topk_per_group": _q_topk_per_group,
         "s7_catalog_shape": _q_catalog_shape,
+        "s7_catalog_json": _q_catalog_json,
         "media_decode_features": _q_media_features,
     }
 
@@ -1339,5 +1351,6 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem) WHERE rank <= 2"
         ),
         "s7_catalog_shape": O.sql_catalog_shape(_fixture_rel()),
+        "s7_catalog_json": O.sql_catalog_json(_fixture_rel()),
         "media_decode_features": _sql_media_features(),
     }

@@ -364,7 +364,7 @@ ctopic AS (
   SELECT doc_id, task_number, {sql_topic('task_text')} AS topic FROM cfinal
 ),
 t0 AS (
-  SELECT d.subject, d.exam_version, d.source_subject_code,
+  SELECT f.doc_id, d.subject, d.exam_version, d.source_subject_code,
          f.task_number, f.points, t.topic, h.task_text_html
   FROM cfinal f
   JOIN ctopic t USING (doc_id, task_number)
@@ -430,6 +430,77 @@ FROM ordered o
 JOIN exam_src e USING (subject, exam_version)
 LEFT JOIN alt a ON a.subject = o.subject
 LEFT JOIN stopics st ON st.subject = o.subject""")
+
+
+def sql_catalog_json(docs_rel: str) -> str:
+    """S7 final serialization: the exact per-subject JSON document that
+    ``catalog.to_json_catalog`` renders with Spark's ``to_json`` — byte
+    equality, not just shape equality (key order, compact separators, raw
+    UTF-8, []-not-null empties).
+
+    Twin construction: DuckDB ``json_object``/``json_group_*`` also emit
+    compact insertion-ordered keys and raw UTF-8, so the document matches
+    verbatim as long as the VALUES line up — which the flattened
+    ``sql_catalog_shape`` oracle already pins.  media_refs per task are
+    the image spans of the OUTPUT span sequence in output order (images
+    sort before text at equal original offset, so among images the
+    original offset IS the output order)."""
+    return _recursive(f"""{sql_catalog_ctes(docs_rel)},
+tmedia AS (
+  SELECT k.doc_id, s.task_number,
+         list(k.media_ref ORDER BY k.off) AS media_refs
+  FROM kept k
+  JOIN surviving s ON k.doc_id = s.doc_id AND k.task_seq = s.task_seq
+  WHERE k.kind = 'image'
+  GROUP BY 1, 2
+),
+tasks_j AS (
+  -- json_group_array/_object are macros in DuckDB 1.0 (no ORDER BY);
+  -- list() IS an ordered aggregate and to_json embeds JSON-typed
+  -- elements raw, so ordered list -> to_json builds the same documents
+  SELECT o.subject, o.exam_version,
+         to_json(list(
+           json_object('topic', o.topic,
+                       'task_number', o.task_number,
+                       'points', o.points,
+                       'task_text', o.task_text_html,
+                       'media_refs',
+                       coalesce(m.media_refs, CAST([] AS VARCHAR[])))
+           ORDER BY o.task_seq)) AS tasks
+  FROM ordered o
+  LEFT JOIN tmedia m
+    ON m.doc_id = o.doc_id AND m.task_number = o.task_number
+  GROUP BY 1, 2
+),
+exams_j AS (
+  SELECT t.subject,
+         to_json(map(
+           list(t.exam_version ORDER BY t.exam_version),
+           list(json_object('source_subject_code', e.source_subject_code,
+                            'tasks', t.tasks)
+                ORDER BY t.exam_version))) AS exams
+  FROM tasks_j t JOIN exam_src e USING (subject, exam_version)
+  GROUP BY 1
+),
+altl AS (
+  SELECT subject, list(code ORDER BY code) AS alternate_codes
+  FROM (SELECT DISTINCT subject, source_subject_code AS code FROM exam_src
+        WHERE source_subject_code <> '' AND source_subject_code <> subject) z
+  GROUP BY subject
+),
+topl AS (
+  SELECT subject, list(topic ORDER BY frk) AS topics FROM firsts
+  GROUP BY subject
+)
+SELECT e.subject,
+  CAST(json_object(
+    'alternate_codes', coalesce(a.alternate_codes, CAST([] AS VARCHAR[])),
+    'topics', coalesce(t.topics, CAST([] AS VARCHAR[])),
+    'ignored_topics', CAST([] AS VARCHAR[]),
+    'exams', e.exams) AS VARCHAR) AS catalog_json
+FROM exams_j e
+LEFT JOIN altl a USING (subject)
+LEFT JOIN topl t USING (subject)""")
 
 
 def sql_extract_tasks(docs_rel: str) -> str:
