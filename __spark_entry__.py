@@ -325,6 +325,13 @@ def _q_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(_tbl(spark, sf_dir, "embeddings"))
 
 
+def _q_ivf_topk_two_level(spark, sf_dir):
+    """IVF ANN with the O(n*sqrt(k)) hierarchical coarse assignment (the
+    build-pass scale path): leaders -> probe_groups groups -> cell scan."""
+    return similarity.ivf_topk(_tbl(spark, sf_dir, "embeddings"),
+                               two_level=True)
+
+
 def _q_tfidf_topterms(spark, sf_dir):
     """Top-5 tf-idf keywords per document (corpus-curation surface)."""
     return textstats.tfidf_topterms(_tbl(spark, sf_dir, "documents"))
@@ -598,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "dedup_components_star": _q_dedup_components_star,
         "ann_ivf_topk": _q_ivf_topk,
+        "ann_ivf_topk_two_level": _q_ivf_topk_two_level,
         "w2_sessionize_events": _q_sessionize_events,
         "w1_windowed_event_counts": _q_windowed_counts,
         "j4_keeplatest_orders": _q_keeplatest,
@@ -1165,6 +1173,92 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
 FROM r WHERE rank <= {k}"""
 
 
+def _sql_ivf_topk_two_level(k: int = 10, n_centroids: int = 16,
+                            n_probe: int = 2, n_groups: int = 4,
+                            probe_groups: int = 2) -> str:
+    """Twin of similarity.ivf_topk(two_level=True): lowest-id centroids,
+    lowest-id group leaders (isqrt(n_centroids)), centroid->group by
+    nearest leader, vector scans its probe_groups closest groups' cells,
+    crank within the scanned subset, then the usual list/probe rerank."""
+    dot = "list_sum(list_transform(generate_series(1, 64), i -> qe[i]::DOUBLE * ce[i]::DOUBLE))"
+    nq = "sqrt(list_sum(list_transform(generate_series(1, 64), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))"
+    nc = "sqrt(list_sum(list_transform(generate_series(1, 64), i -> ce[i]::DOUBLE * ce[i]::DOUBLE)))"
+
+    def cos(a: str, b: str) -> str:
+        # built by interpolation, NOT str.replace on a template: column
+        # refs like "c.cent" contain the substring "ce" and would corrupt
+        d = (f"list_sum(list_transform(generate_series(1, 64), "
+             f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))")
+        na = (f"sqrt(list_sum(list_transform(generate_series(1, 64), "
+              f"i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))")
+        nb = (f"sqrt(list_sum(list_transform(generate_series(1, 64), "
+              f"i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)))")
+        return f"round({d} / ({na} * {nb}), 9)"
+
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS cent FROM embeddings
+  ORDER BY vec_id LIMIT {n_centroids}
+),
+leaders AS (
+  SELECT cell_id AS group_id, cent AS gcent FROM cents
+  ORDER BY cell_id LIMIT {n_groups}
+),
+cgrank AS (
+  SELECT c.cell_id, c.cent, l.group_id,
+         row_number() OVER (PARTITION BY c.cell_id
+           ORDER BY {cos('c.cent', 'l.gcent')} DESC, l.group_id ASC) AS grank
+  FROM cents c CROSS JOIN leaders l
+),
+cent_groups AS (
+  SELECT group_id, cell_id, cent FROM cgrank WHERE grank = 1
+),
+vgrank AS (
+  SELECT e.vec_id, e.embedding, l.group_id,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY {cos('e.embedding', 'l.gcent')} DESC, l.group_id ASC)
+           AS vgrank
+  FROM embeddings e CROSS JOIN leaders l
+),
+vec_groups AS (
+  SELECT vec_id, embedding, group_id FROM vgrank
+  WHERE vgrank <= {probe_groups}
+),
+scored AS (
+  SELECT v.vec_id, c.cell_id,
+         {cos('v.embedding', 'c.cent')} AS csim
+  FROM vec_groups v JOIN cent_groups c USING (group_id)
+),
+asg AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY csim DESC, cell_id ASC) AS crank
+  FROM scored
+),
+lists AS (
+  SELECT a.vec_id AS neighbor_id, a.cell_id, e.embedding AS ce
+  FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id
+  WHERE a.crank = 1
+),
+probes AS (
+  SELECT a.vec_id AS query_id, a.cell_id, e.embedding AS qe
+  FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id
+  WHERE a.crank <= {n_probe} AND a.vec_id % 25 = 0
+),
+p AS (
+  SELECT query_id, neighbor_id, round({dot} / ({nq} * {nc}), 9) AS sim9
+  FROM probes JOIN lists USING (cell_id)
+  WHERE query_id <> neighbor_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY sim9 DESC, neighbor_id ASC) AS rank
+  FROM p
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+       CAST(round(sim9 * 1e9) AS BIGINT) AS sim_e9
+FROM r WHERE rank <= {k}"""
+
+
 def _sql_lsh_search_multiprobe(k: int = 5, n_planes: int = 8) -> str:
     """Twin of similarity.lsh_search_multiprobe (self + hamming-1 probes)."""
     dot = "list_sum(list_transform(generate_series(1, 64), i -> qe[i]::DOUBLE * ce[i]::DOUBLE))"
@@ -1325,6 +1419,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _sql_dedup_components(),
         "dedup_components_star": _sql_dedup_components(),
         "ann_ivf_topk": _sql_ivf_topk(),
+        "ann_ivf_topk_two_level": _sql_ivf_topk_two_level(),
         "w2_sessionize_events": _sql_sessionize_events(),
         "w1_windowed_event_counts": (
             "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H')"
