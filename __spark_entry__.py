@@ -337,6 +337,36 @@ def _q_tfidf_topterms(spark, sf_dir):
     return textstats.tfidf_topterms(_tbl(spark, sf_dir, "documents"))
 
 
+def _q_gopher_quality(spark, sf_dir):
+    """Gopher/C4 repetition + shape filters (dup-2gram mass, mean word
+    length, symbol ratio) with the standard pass thresholds."""
+    return textstats.gopher_quality(_tbl(spark, sf_dir, "documents"))
+
+
+def _q_lang_confusion(spark, sf_dir):
+    """Lang-ID confusion matrix against the labeled lang column."""
+    return textstats.lang_id_eval(_tbl(spark, sf_dir, "documents"))
+
+
+STRATA_RATES = {"src0": 2500, "src3": 7500}  # bp; others keep all
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Per-source deterministic rate sampling (domain rebalancing)."""
+    from ocrspark.ops import sampling
+
+    return sampling.stratified_sample(_tbl(spark, sf_dir, "documents"),
+                                      rates=STRATA_RATES)
+
+
+def _q_source_rollup(spark, sf_dir):
+    """Per-(source, lang) corpus triage: docs, dup involvement, tokens,
+    mean quality."""
+    from ocrspark.ops import sampling
+
+    return sampling.source_rollup(_tbl(spark, sf_dir, "documents"))
+
+
 def _q_curate_split(spark, sf_dir):
     """Deterministic hash-bucket train/val/test assignment."""
     from ocrspark.ops import sampling
@@ -589,6 +619,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _q_tokens,
         "text_fingerprint": _q_fingerprint,
         "text_tfidf_topterms": _q_tfidf_topterms,
+        "text_gopher_quality": _q_gopher_quality,
+        "text_lang_confusion": _q_lang_confusion,
+        "curate_stratified_sample": _q_stratified_sample,
+        "curate_source_rollup": _q_source_rollup,
         "curate_split": _q_curate_split,
         "curate_pack_shards": _q_curate_pack,
         "curate_corpus": _q_curate_corpus,
@@ -1004,6 +1038,92 @@ WHERE e.split <> 'train' AND t.split = 'train'
 GROUP BY 1, 2"""
 
 
+def _sql_gopher_quality() -> str:
+    """Twin of textstats.gopher_quality (integer-scaled Gopher filters)."""
+    return r"""
+WITH w AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+    len(ws)::BIGINT AS n_words,
+    CAST(floor(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+               * 100.0 / greatest(len(ws), 1)) AS BIGINT) AS mean_word_len_e2,
+    CAST(floor((len(ws) - len(list_distinct(ws))) * 10000.0
+               / greatest(len(ws), 1)) AS BIGINT) AS dup_word_bp,
+    CAST(floor(len(regexp_extract_all(text, '#|\.\.\.')) * 10000.0
+               / greatest(len(ws), 1)) AS BIGINT) AS symbol_word_bp,
+    CASE WHEN len(ws) >= 2 THEN
+      list_transform(generate_series(0, len(ws) - 2),
+                     i -> ws[i+1] || ' ' || ws[i+2])
+    ELSE [] END AS grams
+  FROM w
+),
+g AS (
+  SELECT doc_id, gram, count(*) AS c
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM base) z
+  GROUP BY 1, 2
+),
+gm AS (SELECT doc_id, max(c) AS mx, sum(c) AS tt FROM g GROUP BY 1),
+j AS (
+  SELECT b.doc_id, b.n_words, b.mean_word_len_e2, b.dup_word_bp,
+         b.symbol_word_bp,
+         coalesce(CAST(floor(gm.mx * 10000.0 / greatest(gm.tt, 1)) AS BIGINT),
+                  0) AS dup_2gram_bp
+  FROM base b LEFT JOIN gm ON gm.doc_id = b.doc_id
+)
+SELECT *,
+  CAST(n_words BETWEEN 50 AND 100000
+       AND mean_word_len_e2 BETWEEN 300 AND 1000
+       AND dup_2gram_bp <= 2000
+       AND symbol_word_bp <= 1000
+       AND dup_word_bp <= 5000 AS INT) AS gopher_pass
+FROM j"""
+
+
+def _sql_lang_confusion() -> str:
+    """Twin of textstats.lang_id_eval (confusion vs labeled lang)."""
+    return f"""
+WITH p AS ({_sql_lang_id().strip()})
+SELECT d.lang, p.pred_lang, count(*) AS n_docs
+FROM documents d JOIN p USING (doc_id)
+GROUP BY 1, 2"""
+
+
+def _sql_stratified_sample() -> str:
+    """Twin of sampling.stratified_sample at the STRATA_RATES fixture."""
+    vals = ", ".join(f"('{k}', {v})" for k, v in sorted(STRATA_RATES.items()))
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, {_BP_SQL} AS sample_bp FROM documents
+),
+r(source, rate_bp) AS (VALUES {vals})
+SELECT d.doc_id, d.source, d.sample_bp,
+       coalesce(r.rate_bp, 10000) AS rate_bp,
+       CAST(d.sample_bp < coalesce(r.rate_bp, 10000) AS INT) AS kept
+FROM d LEFT JOIN r USING (source)"""
+
+
+def _sql_source_rollup() -> str:
+    """Twin of sampling.source_rollup (per-source/lang triage)."""
+    return f"""
+WITH k AS (
+  SELECT source, lang, doc_id, md5({_CANON}) AS fp,
+         len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens
+  FROM documents
+),
+s AS (SELECT fp, count(*) AS fpn FROM k GROUP BY 1),
+q AS ({_sql_quality().strip()})
+SELECT k.source, k.lang, count(*) AS n_docs,
+  CAST(sum(CASE WHEN s.fpn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_involved,
+  CAST(sum(k.n_tokens) AS BIGINT) AS total_tokens,
+  CAST(floor(sum(q.quality_bp) * 1.0 / count(*)) AS BIGINT) AS mean_quality_bp
+FROM k JOIN s USING (fp) JOIN q USING (doc_id)
+GROUP BY 1, 2"""
+
+
 def _sql_tfidf_topterms(k: int = 5) -> str:
     """Twin of textstats.tfidf_topterms (ln idf, 9-dp rounding)."""
     return f"""
@@ -1399,6 +1519,10 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": _sql_tokens(),
         "text_fingerprint": _sql_fingerprint(),
         "text_tfidf_topterms": _sql_tfidf_topterms(),
+        "text_gopher_quality": _sql_gopher_quality(),
+        "text_lang_confusion": _sql_lang_confusion(),
+        "curate_stratified_sample": _sql_stratified_sample(),
+        "curate_source_rollup": _sql_source_rollup(),
         "curate_split": _sql_curate_split(),
         "curate_pack_shards": _sql_curate_pack(),
         "curate_corpus": _sql_curate_corpus(),

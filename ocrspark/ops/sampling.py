@@ -94,6 +94,81 @@ def pack_shards(docs: DataFrame, key_col: str = "doc_id",
     )
 
 
+def stratified_sample(docs: DataFrame, strata_col: str = "source",
+                      rates: DataFrame | dict | None = None,
+                      default_bp: int = 10000,
+                      key_col: str = "doc_id") -> DataFrame:
+    """Per-stratum deterministic rate sampling — the C4/RefinedWeb "cap any
+    single domain" rebalancing step, skew-free by construction.
+
+    A doc is kept iff hash_bp(key) < rate_bp(stratum): a pure function of
+    the row (broadcast lookup of the tiny rates table + the same md5
+    basis-point hash as ``deterministic_split``), so there is NO shuffle,
+    no per-stratum sort, and a 10^11-doc stratum costs the same per row
+    as a 10-doc one — unlike count-based per-stratum top-N, which needs a
+    global rank per stratum (noted as the non-scale shape).  Strata
+    absent from ``rates`` fall back to ``default_bp`` (10000 = keep all).
+    Rates are basis points in [0, 10000]; reproducible on any engine.
+    """
+    if rates is None:
+        rates = {}
+    if isinstance(rates, dict):
+        rates = docs.sparkSession.createDataFrame(
+            [(k, int(v)) for k, v in sorted(rates.items())] or
+            [("", 0)],
+            f"{strata_col} string, rate_bp int",
+        )
+    bp = _hash_bp(F.col(key_col))
+    return (
+        docs.join(F.broadcast(rates), strata_col, "left")
+        .select(
+            key_col, strata_col,
+            bp.alias("sample_bp"),
+            F.coalesce(F.col("rate_bp"), F.lit(default_bp)).alias("rate_bp"),
+        )
+        .withColumn("kept", (F.col("sample_bp") < F.col("rate_bp")).cast("int"))
+    )
+
+
+def source_rollup(docs: DataFrame, strata_cols=("source", "lang"),
+                  text_col: str = "text") -> DataFrame:
+    """Corpus-triage rollup per (source, lang): doc count, exact-duplicate
+    involvement, token volume, mean quality — the table every curation
+    pipeline starts its source review from.
+
+    Composed from already-oracled primitives (canonical fingerprint,
+    quality score, whitespace tokens); the dup flag marks docs whose
+    fingerprint occurs more than once ANYWHERE in the corpus (cross-source
+    dup detection, the usual mirror-site signal).  Shape: one groupBy(fp)
+    + join-back (partial-aggregated) and one groupBy(strata) — no
+    corpus-hot key beyond fp, which the exact-dup op already handles.
+    """
+    from .dedup import canonical_fp
+
+    keyed = docs.select(
+        *strata_cols, "doc_id",
+        canonical_fp(F.col(text_col)).alias("fp"),
+        F.regexp_count(F.col(text_col), F.lit(r"\S+")).cast("long")
+        .alias("n_tokens"),
+    )
+    from .textstats import quality_score
+
+    q = quality_score(docs).select("doc_id", "quality_bp")
+    sizes = keyed.groupBy("fp").agg(F.count(F.lit(1)).alias("fpn"))
+    return (
+        keyed.join(sizes, "fp")
+        .join(q, "doc_id")
+        .groupBy(*strata_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("fpn") > 1).cast("long")).alias("n_dup_involved"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.floor(F.sum("quality_bp") / F.count(F.lit(1)))
+            .cast("long").alias("mean_quality_bp"),
+        )
+    )
+
+
 DECON_NGRAM = 8
 DECON_MAX_DF = 64
 

@@ -109,6 +109,89 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", canonical_fp(F.col(text_col)).alias("fp"))
 
 
+def lang_id_eval(docs: DataFrame, label_col: str = "lang",
+                 text_col: str = "text") -> DataFrame:
+    """Confusion matrix of the n-gram lang-ID against labeled language:
+    (lang, pred_lang, n_docs).  The evaluation surface a pipeline needs
+    before trusting the classifier as a filter; one broadcast-free
+    groupBy on the two label columns."""
+    preds = lang_id(docs, text_col).select("doc_id", "pred_lang")
+    return (
+        docs.select("doc_id", F.col(label_col).alias("lang"))
+        .join(preds, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style repetition + shape filters (Rae et al. 2021 §A1.1),
+    integer-scaled for cross-engine hashing.
+
+    Per doc: word count, mean word length (x100), duplicate-word fraction
+    (bp), symbol-to-word ratio for '#'/'...' (bp), and the repetition
+    signal that catches template spam — the fraction of all 2-gram
+    occurrences claimed by the document's most frequent 2-gram (bp).
+    ``gopher_pass`` applies the standard thresholds (50<=words<=100k,
+    3<=mean len<=10, dup-2gram mass<=20%, symbol ratio<=10%, dup words
+    <=50%).
+
+    Scale shape: the row-level stats are array folds (no shuffle); the
+    2-gram mass needs one groupBy(doc_id, gram) + one groupBy(doc_id) —
+    both partial-aggregated, keyed by doc so no corpus-hot key exists —
+    joined back on doc_id.
+    """
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9]+"), 0)
+    n_words = F.size(words)
+    total_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_distinct = F.size(F.array_distinct(words))
+    sym_hits = F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\."))
+    base = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.floor(total_chars * 100 / F.greatest(n_words, F.lit(1)))
+        .cast("long").alias("mean_word_len_e2"),
+        F.floor((n_words - n_distinct) * 10000 / F.greatest(n_words, F.lit(1)))
+        .cast("long").alias("dup_word_bp"),
+        F.floor(sym_hits * 10000 / F.greatest(n_words, F.lit(1)))
+        .cast("long").alias("symbol_word_bp"),
+    )
+    grams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.array_join(F.slice(words, i + 1, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gcounts = (
+        docs.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id").agg(
+            F.max("c").alias("max_2gram"),
+            F.sum("c").alias("total_2grams"),
+        )
+    )
+    out = base.join(gcounts, "doc_id", "left").select(
+        "doc_id", "n_words", "mean_word_len_e2", "dup_word_bp",
+        "symbol_word_bp",
+        F.coalesce(
+            F.floor(F.col("max_2gram") * 10000
+                    / F.greatest(F.col("total_2grams"), F.lit(1))),
+            F.lit(0),
+        ).cast("long").alias("dup_2gram_bp"),
+    )
+    passed = (
+        (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
+        & (F.col("mean_word_len_e2") >= 300) & (F.col("mean_word_len_e2") <= 1000)
+        & (F.col("dup_2gram_bp") <= 2000)
+        & (F.col("symbol_word_bp") <= 1000)
+        & (F.col("dup_word_bp") <= 5000)
+    )
+    return out.withColumn("gopher_pass", passed.cast("int"))
+
+
 def tfidf_topterms(docs: DataFrame, text_col: str = "text",
                    k: int = 5) -> DataFrame:
     """Top-k tf-idf terms per document: (doc_id, rank, term, score_e9).

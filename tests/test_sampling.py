@@ -67,3 +67,65 @@ def test_pack_shards_concat_and_chunk(spark):
             assert r.shard_seq == cum // 10, r
             assert r.offset_tokens == cum % 10, r
             cum += toks[r.doc_id]
+
+
+def test_gopher_quality_thresholds(spark):
+    """Constructed docs hit each Gopher gate: a healthy doc passes; a
+    2-gram-looping spam doc fails on dup_2gram mass; a symbol-heavy doc
+    fails on symbol ratio; a too-short doc fails on word count."""
+    from ocrspark.ops import textstats
+
+    healthy = " ".join(f"word{i} token{i} value{i}" for i in range(40))
+    spam = "buy now " * 200
+    symbols = " ".join(f"w{i} ###### ...... ######" for i in range(30))
+    short = "only a few words here"
+    docs = spark.createDataFrame(
+        [(1, healthy), (2, spam), (3, symbols), (4, short)],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r for r in textstats.gopher_quality(docs).collect()}
+    assert got[1].gopher_pass == 1
+    assert got[2].gopher_pass == 0 and got[2].dup_2gram_bp > 2000
+    assert got[3].gopher_pass == 0 and got[3].symbol_word_bp > 1000
+    assert got[4].gopher_pass == 0 and got[4].n_words < 50
+    # dup_2gram mass: "buy now" loop -> the top 2-gram ("buy now" or
+    # "now buy") claims half of all 2-gram occurrences
+    assert got[2].dup_2gram_bp >= 5000
+
+
+def test_stratified_sample_rates(spark):
+    """Kept fraction per stratum tracks its rate_bp (hash-uniformity), the
+    assignment is a pure row function (no dependence on other rows), and
+    unlisted strata fall back to default_bp."""
+    docs = spark.createDataFrame(
+        [(i, "s0" if i % 2 == 0 else "s1") for i in range(2000)],
+        "doc_id int, source string",
+    )
+    out = sampling.stratified_sample(docs, rates={"s0": 2500}).collect()
+    kept0 = sum(r.kept for r in out if r.source == "s0")
+    kept1 = sum(r.kept for r in out if r.source == "s1")
+    n0 = sum(1 for r in out if r.source == "s0")
+    assert abs(kept0 / n0 - 0.25) < 0.05          # ~rate_bp
+    assert kept1 == 1000                           # default keeps all
+    # purity: same doc, same verdict regardless of the rest of the corpus
+    sub = sampling.stratified_sample(
+        docs.filter(F.col("doc_id") < 100), rates={"s0": 2500}).collect()
+    full = {r.doc_id: r.kept for r in out}
+    assert all(full[r.doc_id] == r.kept for r in sub)
+
+
+def test_source_rollup_dup_counting(spark):
+    """n_dup_involved counts docs whose fingerprint repeats ANYWHERE in
+    the corpus (cross-source mirror detection), per stratum."""
+    docs = spark.createDataFrame(
+        [(1, "sA", "en", "mirrored text body"),
+         (2, "sB", "en", "Mirrored  TEXT body"),   # canonical dup of 1
+         (3, "sA", "en", "unique body one"),
+         (4, "sB", "no", "unique body two")],
+        "doc_id int, source string, lang string, text string",
+    )
+    got = {(r.source, r.lang): r for r in sampling.source_rollup(docs).collect()}
+    assert got[("sA", "en")].n_docs == 2
+    assert got[("sA", "en")].n_dup_involved == 1   # doc 1
+    assert got[("sB", "en")].n_dup_involved == 1   # doc 2 (cross-source)
+    assert got[("sB", "no")].n_dup_involved == 0
