@@ -337,6 +337,17 @@ def _q_tfidf_topterms(spark, sf_dir):
     return textstats.tfidf_topterms(_tbl(spark, sf_dir, "documents"))
 
 
+def _q_substring_spans(spark, sf_dir):
+    """Exact-substring duplication report (Lee et al.-style): maximal
+    verbatim shared word spans per doc pair via diagonal run chaining."""
+    return dedup.substring_dup_spans(_tbl(spark, sf_dir, "documents"))
+
+
+def _q_top_ngrams(spark, sf_dir):
+    """Corpus-wide top 3-grams (boilerplate mining for strip lists)."""
+    return textstats.top_ngrams(_tbl(spark, sf_dir, "documents"))
+
+
 def _q_gopher_quality(spark, sf_dir):
     """Gopher/C4 repetition + shape filters (dup-2gram mass, mean word
     length, symbol ratio) with the standard pass thresholds."""
@@ -621,6 +632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_topterms": _q_tfidf_topterms,
         "text_gopher_quality": _q_gopher_quality,
         "text_lang_confusion": _q_lang_confusion,
+        "text_top_ngrams": _q_top_ngrams,
+        "dedup_substring_spans": _q_substring_spans,
         "curate_stratified_sample": _q_stratified_sample,
         "curate_source_rollup": _q_source_rollup,
         "curate_split": _q_curate_split,
@@ -1036,6 +1049,79 @@ SELECT e.doc_id AS test_doc, t.doc_id AS train_doc, count(*) AS n_shared
 FROM capped e JOIN capped t USING (h)
 WHERE e.split <> 'train' AND t.split = 'train'
 GROUP BY 1, 2"""
+
+
+def _sql_substring_spans(n: int = 8, max_df: int = 64,
+                         min_run: int = 8) -> str:
+    """Twin of dedup.substring_dup_spans (diagonal gap-and-island runs)."""
+    gram = " || ' ' || ".join(f"ws[i+{j}]" for j in range(1, n + 1))
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+),
+gl AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) >= {n} THEN
+      list_transform(generate_series(0, len(ws) - {n}),
+                     i -> {{'i': i, 'g': {gram}}})
+    ELSE [] END AS gs
+  FROM w
+),
+occ AS (
+  SELECT doc_id, u.g.i AS i,
+         CAST(('0x' || substr(md5(u.g.g), 1, 12)) AS BIGINT) AS h
+  FROM gl, LATERAL UNNEST(gl.gs) AS u(g)
+),
+capped AS (
+  SELECT * FROM occ QUALIFY count(*) OVER (PARTITION BY h) <= {max_df}
+),
+coll AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2, a.i AS i,
+         a.i - b.i AS diag
+  FROM capped a JOIN capped b USING (h)
+  WHERE a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT doc1, doc2, diag, i,
+         i - row_number() OVER (PARTITION BY doc1, doc2, diag ORDER BY i)
+           AS grp
+  FROM coll
+),
+runs AS (
+  SELECT doc1, doc2, diag, grp, count(*) + {n} - 1 AS run_tokens
+  FROM isl GROUP BY 1, 2, 3, 4
+)
+SELECT doc1, doc2, count(*) AS n_runs, max(run_tokens) AS max_run_tokens
+FROM runs WHERE run_tokens >= {min_run}
+GROUP BY 1, 2"""
+
+
+def _sql_top_ngrams(n: int = 3, k: int = 50) -> str:
+    """Twin of textstats.top_ngrams (global top-k, gram-ASC ties)."""
+    gram = " || ' ' || ".join(f"ws[i+{j}]" for j in range(1, n + 1))
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ws) >= {n} THEN
+      list_transform(generate_series(0, len(ws) - {n}), i -> {gram})
+    ELSE [] END) AS gram
+  FROM w
+),
+c AS (
+  SELECT gram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+  FROM g GROUP BY 1
+),
+r AS (
+  SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, gram ASC)
+              AS INT) AS rank, gram, n_occurrences, n_docs
+  FROM c
+)
+SELECT * FROM r WHERE rank <= {k}"""
 
 
 def _sql_gopher_quality() -> str:
@@ -1521,6 +1607,8 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf_topterms": _sql_tfidf_topterms(),
         "text_gopher_quality": _sql_gopher_quality(),
         "text_lang_confusion": _sql_lang_confusion(),
+        "text_top_ngrams": _sql_top_ngrams(),
+        "dedup_substring_spans": _sql_substring_spans(),
         "curate_stratified_sample": _sql_stratified_sample(),
         "curate_source_rollup": _sql_source_rollup(),
         "curate_split": _sql_curate_split(),

@@ -255,6 +255,64 @@ def _unpersist_tracked(spark_session, ids) -> None:
             r.unpersist(False)
 
 
+def substring_dup_spans(docs: DataFrame, text_col: str = "text",
+                        n: int = 8, max_df: int = MAX_DF,
+                        min_run_tokens: int = 8) -> DataFrame:
+    """Exact-substring duplication between document pairs (the signal
+    behind Lee et al. 2021's exact-substring dedup): (doc1, doc2, n_runs,
+    max_run_tokens), where a run is a maximal verbatim shared word span.
+
+    Construction: word n-grams WITH positions; a shared gram at positions
+    (i, j) is a collision on diagonal i-j, and consecutive collisions on
+    one diagonal chain into a run (detected with the classic
+    i - row_number() gap-and-island trick — no iteration).  A run of r
+    grams is a shared span of r + n - 1 words; pairs are kept when their
+    longest run reaches ``min_run_tokens``.
+
+    Scale shape: collisions come from an equi-join on the gram hash with
+    the same ``cap_by_key`` df cap as every candidate generator (a
+    corpus-hot boilerplate gram is exactly what the cap drops), and the
+    island window partitions by (pair, diagonal) — a key that cannot be
+    corpus-hot after the cap.
+    """
+    from pyspark.sql import Window
+
+    words = _words(F.col(text_col))
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = docs.select(
+        "doc_id", F.posexplode(grams).alias("i", "gram")
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10).cast("long")
+    ).drop("gram")
+    occ = cap_by_key(occ, ["h"], max_df)
+    a = occ.select(F.col("doc_id").alias("doc1"), F.col("i").alias("i"), "h")
+    b = occ.select(F.col("doc_id").alias("doc2"), F.col("i").alias("j"), "h")
+    coll = (
+        a.join(b, "h")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2", "i", (F.col("i") - F.col("j")).alias("diag"))
+        .distinct()
+    )
+    w = Window.partitionBy("doc1", "doc2", "diag").orderBy("i")
+    runs = (
+        coll.withColumn("grp", F.col("i") - F.row_number().over(w))
+        .groupBy("doc1", "doc2", "diag", "grp")
+        .agg((F.count(F.lit(1)) + n - 1).alias("run_tokens"))
+    )
+    return (
+        runs.filter(F.col("run_tokens") >= min_run_tokens)
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_runs"),
+             F.max("run_tokens").alias("max_run_tokens"))
+    )
+
+
 def components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Duplicate clusters from near-dup pairs: (doc_id, rep_id, cluster_size).
 

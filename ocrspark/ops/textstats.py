@@ -109,6 +109,42 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", canonical_fp(F.col(text_col)).alias("fp"))
 
 
+def top_ngrams(docs: DataFrame, text_col: str = "text",
+               n: int = 3, k: int = 50) -> DataFrame:
+    """Corpus-wide most frequent word n-grams: (rank, gram, n_occurrences,
+    n_docs) — boilerplate mining (the grams the dedup caps drop are
+    exactly the ones this surfaces for review/strip lists).
+
+    One groupBy(gram) with partial aggregation (a corpus-hot gram
+    collapses map-side), then a global top-k — k rows through a single
+    TakeOrdered, never a full sort of the vocabulary.  Ties break on gram
+    ASC so engines rank identically.
+    """
+    from pyspark.sql import Window
+
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9]+"), 0)
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        docs.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"),
+             F.count_distinct("doc_id").alias("n_docs"))
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+    return (
+        counts.orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "gram", "n_occurrences", "n_docs")
+    )
+
+
 def lang_id_eval(docs: DataFrame, label_col: str = "lang",
                  text_col: str = "text") -> DataFrame:
     """Confusion matrix of the n-gram lang-ID against labeled language:

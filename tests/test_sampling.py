@@ -129,3 +129,26 @@ def test_source_rollup_dup_counting(spark):
     assert got[("sA", "en")].n_dup_involved == 1   # doc 1
     assert got[("sB", "en")].n_dup_involved == 1   # doc 2 (cross-source)
     assert got[("sB", "no")].n_dup_involved == 0
+
+
+def test_substring_dup_spans_runs(spark):
+    """Diagonal run chaining must recover the exact shared-span lengths:
+    doc pair sharing one verbatim 12-word span -> one run of 12 tokens
+    (5 chained 8-grams); two disjoint 8-word spans -> two runs of 8."""
+    from ocrspark.ops import dedup
+
+    span12 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    s8a = "one two three four five six seven eight"
+    s8b = "red orange yellow green blue indigo violet ultra"
+    docs = spark.createDataFrame(
+        [(1, f"{span12} tailone tailtwo tailthree"),
+         (2, f"headone headtwo {span12}"),
+         (3, f"{s8a} filler1 filler2 {s8b}"),
+         (4, f"pref1 pref2 {s8a} mid1 mid2 mid3 {s8b}")],
+        "doc_id int, text string",
+    )
+    got = {(r.doc1, r.doc2): (r.n_runs, r.max_run_tokens)
+           for r in dedup.substring_dup_spans(docs).collect()}
+    assert got[(1, 2)] == (1, 12)
+    assert got[(3, 4)] == (2, 8)
+    assert set(got) == {(1, 2), (3, 4)}
