@@ -106,6 +106,37 @@ def test_ngram_jaccard_matches_uncapped_ground_truth(spark):
     assert len(exhaustive) > 0
 
 
+def test_round4_ops_plan_shapes(spark):
+    """Plan contracts for the round-4 curation ops: stratified_sample is
+    a pure row function (ZERO Exchange — broadcast rate lookup only);
+    substring_dup_spans and the others never plan a cartesian/nested-loop
+    join; gopher_quality's only shuffles are doc-keyed partial aggs."""
+    from ocrspark.ops import dedup, sampling, textstats
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", "en",
+          f"words number {i} shared filler tokens for shingles {i % 7} "
+          f"more content here to gram") for i in range(40)],
+        "doc_id int, source string, lang string, text string",
+    )
+    plan = _plan(sampling.stratified_sample(docs, rates={"s0": 2500}))
+    # no data SHUFFLE: the only exchange is the broadcast of the tiny
+    # rates table (a BroadcastHashJoin lookup, constant per row)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    for df in [
+        dedup.substring_dup_spans(docs),
+        textstats.gopher_quality(docs),
+        textstats.top_ngrams(docs, k=5),
+        sampling.source_rollup(docs),
+    ]:
+        p = _plan(df)
+        assert "CartesianProduct" not in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p
+    # gopher's 2-gram mass pass is partial-aggregated (map-side combine)
+    assert "partial_count" in _plan(textstats.gopher_quality(docs))
+
+
 def test_hotkey_caps_use_partial_agg_not_window(spark):
     """The df/bucket caps must be skew-safe IN THEMSELVES: sizes computed
     by groupBy (HashAggregate with partial_count before the exchange, so a
