@@ -119,6 +119,15 @@ def main() -> None:
             tbl("documents").withColumn(
                 "n_tokens", F.regexp_count(F.col("text"), F.lit(r"\S+")))
         ).count()
+        # round-4 additions
+        queries["dedup_substring"] = lambda: dedup.substring_dup_spans(
+            tbl("documents")).count()
+        queries["text_gopher"] = lambda: textstats.gopher_quality(
+            tbl("documents")).count()
+        queries["text_top_ngrams"] = lambda: textstats.top_ngrams(
+            tbl("documents")).count()
+        queries["curate_source_rollup"] = lambda: sampling.source_rollup(
+            tbl("documents")).count()
     if os.environ.get("SPARK_GRAFT_DISAGG"):
         # r1-equivalent plan: sink only the round-1 output column families so
         # Catalyst prunes the round-2 work (topic/html/G7) — isolates "new
