@@ -113,9 +113,10 @@ def stratified_sample(docs: DataFrame, strata_col: str = "source",
     if rates is None:
         rates = {}
     if isinstance(rates, dict):
+        # an empty dict must mean "every stratum at default_bp" — never a
+        # placeholder row (a real stratum named "" would get rate 0)
         rates = docs.sparkSession.createDataFrame(
-            [(k, int(v)) for k, v in sorted(rates.items())] or
-            [("", 0)],
+            [(k, int(v)) for k, v in sorted(rates.items())],
             f"{strata_col} string, rate_bp int",
         )
     bp = _hash_bp(F.col(key_col))

@@ -187,11 +187,15 @@ def dedup_stream(docs: DataFrame, ts_col: str = "ingested_at",
 
 
 def _dir_has_files(spark: SparkSession, path: str) -> bool:
-    """True iff ``path`` exists and contains at least one file — the ONLY
-    condition under which 'nothing landed yet' may be assumed.  Any other
-    read problem (corrupt footer, transient FS error, permissions) must
-    fail the micro-batch so the streaming checkpoint retries it, instead
-    of silently re-appending duplicates."""
+    """True iff ``path`` exists and contains at least one DATA file — the
+    ONLY condition under which landed history is assumed.  Any other read
+    problem (corrupt footer, transient FS error, permissions) must fail
+    the micro-batch so the streaming checkpoint retries it, instead of
+    silently re-appending duplicates.
+
+    Only ``*.parquet`` files count: a zero-survivor first batch leaves a
+    ``_SUCCESS`` marker and no parts, and treating that as history would
+    poison every later batch with an unreadable (schema-less) corpus."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -199,8 +203,8 @@ def _dir_has_files(spark: SparkSession, path: str) -> bool:
         return False
     it = fs.listFiles(hpath, True)
     while it.hasNext():
-        it.next()
-        return True
+        if it.next().getPath().getName().endswith(".parquet"):
+            return True
     return False
 
 

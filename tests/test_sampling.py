@@ -152,3 +152,12 @@ def test_substring_dup_spans_runs(spark):
     assert got[(1, 2)] == (1, 12)
     assert got[(3, 4)] == (2, 8)
     assert set(got) == {(1, 2), (3, 4)}
+
+
+def test_stratified_sample_empty_rates(spark):
+    """rates={} keeps everything at default_bp — including a stratum
+    literally named the empty string (no placeholder-row collision)."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "s")], "doc_id int, source string")
+    out = sampling.stratified_sample(docs, rates={}).collect()
+    assert all(r.kept == 1 and r.rate_bp == 10000 for r in out)

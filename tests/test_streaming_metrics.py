@@ -347,3 +347,24 @@ def test_sessionize_stream_late_events(spark, tmp_path):
     assert {k: (v.session_seq, v.is_late) for k, v in got.items()} == {
         100: (1, False), 101: (1, False), 102: (-1, True), 103: (2, False),
     }
+
+
+def test_dedup_ingest_zero_survivor_first_batch(spark, tmp_path):
+    """A first batch whose write lands no data files (_SUCCESS only) must
+    not poison later batches: the landed dir counts as 'no history' until
+    a real parquet part exists.  Simulated by pre-creating the marker-only
+    dir a crashed empty write would leave."""
+    from ocrspark.streaming import dedup_ingest
+
+    schema = "doc_id int, text string"
+    in_dir = tmp_path / "z_in"
+    _stage_batches(spark, tmp_path, in_dir,
+                   [[(1, "alpha text"), (2, "beta text")]], schema)
+    out_dir = tmp_path / "z_out"
+    out_dir.mkdir()
+    (out_dir / "_SUCCESS").write_bytes(b"")
+    q = dedup_ingest(spark, str(in_dir), str(out_dir),
+                     str(tmp_path / "z_cp"), schema)
+    q.awaitTermination(120)
+    assert {r.doc_id for r in spark.read.parquet(str(out_dir)).collect()} \
+        == {1, 2}
