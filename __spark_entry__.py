@@ -1077,7 +1077,9 @@ capped AS (
   SELECT * FROM occ QUALIFY count(*) OVER (PARTITION BY h) <= {max_df}
 ),
 coll AS (
-  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2, a.i AS i,
+  -- no DISTINCT: one gram hash per (doc, position) makes collision rows
+  -- unique by construction (twin of the Spark comment)
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.i AS i,
          a.i - b.i AS diag
   FROM capped a JOIN capped b USING (h)
   WHERE a.doc_id < b.doc_id

@@ -293,11 +293,13 @@ def substring_dup_spans(docs: DataFrame, text_col: str = "text",
     occ = cap_by_key(occ, ["h"], max_df)
     a = occ.select(F.col("doc_id").alias("doc1"), F.col("i").alias("i"), "h")
     b = occ.select(F.col("doc_id").alias("doc2"), F.col("i").alias("j"), "h")
+    # no distinct needed: (doc, position) carries exactly one gram hash,
+    # so a (doc1, doc2, i, diag) collision row cannot occur twice — the
+    # island row_number below is safe without paying a dedup shuffle
     coll = (
         a.join(b, "h")
         .filter(F.col("doc1") < F.col("doc2"))
         .select("doc1", "doc2", "i", (F.col("i") - F.col("j")).alias("diag"))
-        .distinct()
     )
     w = Window.partitionBy("doc1", "doc2", "diag").orderBy("i")
     runs = (
