@@ -332,6 +332,16 @@ def _q_ivf_topk_two_level(spark, sf_dir):
                                two_level=True)
 
 
+def _q_pq_codes(spark, sf_dir):
+    """PQ compressed index: per-(vector, subspace) nearest codebook code."""
+    return similarity.pq_codes(_tbl(spark, sf_dir, "embeddings"))
+
+
+def _q_pq_topk(spark, sf_dir):
+    """ADC top-k over PQ codes (the PQ half of IVF-PQ)."""
+    return similarity.pq_topk(_tbl(spark, sf_dir, "embeddings"))
+
+
 def _q_tfidf_topterms(spark, sf_dir):
     """Top-5 tf-idf keywords per document (corpus-curation surface)."""
     return textstats.tfidf_topterms(_tbl(spark, sf_dir, "documents"))
@@ -653,6 +663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_star": _q_dedup_components_star,
         "ann_ivf_topk": _q_ivf_topk,
         "ann_ivf_topk_two_level": _q_ivf_topk_two_level,
+        "ann_pq_codes": _q_pq_codes,
+        "ann_pq_topk": _q_pq_topk,
         "w2_sessionize_events": _q_sessionize_events,
         "w1_windowed_event_counts": _q_windowed_counts,
         "j4_keeplatest_orders": _q_keeplatest,
@@ -1467,6 +1479,74 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
 FROM r WHERE rank <= {k}"""
 
 
+def _pq_ctes(m: int = 8, ksub: int = 16, query_mod: int = 25) -> str:
+    """Shared PQ CTE chain: codebooks (lowest-id stand-in), subvector
+    distance in int64 e9 (sum-safe — twin of similarity._l2_e9), code
+    assignment, and the query ADC distance table."""
+    d_sub = 64 // m
+    subids = ", ".join(str(s) for s in range(m))
+    dist = ("CAST(round(round(list_sum(list_transform(generate_series(1, "
+            f"{d_sub}), i -> (a[i]::DOUBLE - b[i]::DOUBLE) * "
+            "(a[i]::DOUBLE - b[i]::DOUBLE))), 9) * 1e9) AS BIGINT)")
+    return f"""
+WITH base AS (
+  SELECT embedding,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {ksub}) z
+),
+books AS (
+  SELECT s.sid AS sub_id, code,
+         embedding[(s.sid * {d_sub} + 1):(s.sid * {d_sub} + {d_sub})]
+           AS subcent
+  FROM base, LATERAL UNNEST([{subids}]) AS s(sid)
+),
+vsubs AS (
+  SELECT vec_id, s.sid AS sub_id,
+         embedding[(s.sid * {d_sub} + 1):(s.sid * {d_sub} + {d_sub})]
+           AS subvec
+  FROM embeddings, LATERAL UNNEST([{subids}]) AS s(sid)
+),
+scored AS (
+  SELECT v.vec_id, v.sub_id, b.code,
+         {dist.replace('a[i]', 'v.subvec[i]').replace('b[i]', 'b.subcent[i]')} AS d
+  FROM vsubs v JOIN books b USING (sub_id)
+),
+codes AS (
+  SELECT vec_id, sub_id, code FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub_id
+                             ORDER BY d ASC, code ASC) = 1
+),
+qdist AS (
+  SELECT vec_id AS query_id, sub_id, code, d FROM scored
+  WHERE vec_id % {query_mod} = 0
+)"""
+
+
+def _sql_pq_codes() -> str:
+    """Twin of similarity.pq_codes."""
+    return _pq_ctes() + "\nSELECT vec_id, sub_id, code FROM codes"
+
+
+def _sql_pq_topk(k: int = 10) -> str:
+    """Twin of similarity.pq_topk (ADC: codes join the query distance
+    table on (sub_id, code), integer sum across subspaces)."""
+    return f"""{_pq_ctes()},
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, sum(q.d) AS ad
+  FROM codes c JOIN qdist q USING (sub_id, code)
+  WHERE q.query_id <> c.vec_id
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, neighbor_id, CAST(ad AS BIGINT) AS adist_e9,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ad ASC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adist_e9
+FROM r WHERE rank <= {k}"""
+
+
 def _sql_lsh_search_multiprobe(k: int = 5, n_planes: int = 8) -> str:
     """Twin of similarity.lsh_search_multiprobe (self + hamming-1 probes)."""
     dot = "list_sum(list_transform(generate_series(1, 64), i -> qe[i]::DOUBLE * ce[i]::DOUBLE))"
@@ -1634,6 +1714,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components_star": _sql_dedup_components(),
         "ann_ivf_topk": _sql_ivf_topk(),
         "ann_ivf_topk_two_level": _sql_ivf_topk_two_level(),
+        "ann_pq_codes": _sql_pq_codes(),
+        "ann_pq_topk": _sql_pq_topk(),
         "w2_sessionize_events": _sql_sessionize_events(),
         "w1_windowed_event_counts": (
             "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H')"

@@ -490,6 +490,138 @@ def ivf_topk(emb: DataFrame, k: int = 10, query_mod: int = 25,
     )
 
 
+PQ_M = 8       # subspaces (64-dim -> 8 x 8-dim subvectors)
+PQ_KSUB = 16   # codebook entries per subspace (codes fit 4 bits)
+
+
+def _l2_e9(a, b):
+    """Squared-L2 between two float arrays, rounded 9dp then scaled to
+    int64.  Integer OUTPUTS are load-bearing: ADC sums these per-subspace
+    distances across m subspaces inside a groupBy, and double addition is
+    not associative — summing already-integer values keeps the total
+    exact and partition-order-independent (hash-stable vs DuckDB)."""
+    sq = F.aggregate(
+        F.zip_with(a, b, lambda x, y:
+                   (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    return F.round(F.round(sq, 9) * 1e9).cast("long")
+
+
+def _subvectors(df: DataFrame, vec_col: str, m: int, d_sub: int,
+                out_vec: str):
+    subs = F.array(*[
+        F.struct(F.lit(s).alias("sub_id"),
+                 F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias(out_vec))
+        for s in range(m)
+    ])
+    return df.select("*", F.explode(subs).alias("_b")).select(
+        *[c for c in df.columns if c != vec_col],
+        F.col("_b.sub_id").alias("sub_id"), F.col(f"_b.{out_vec}").alias(out_vec),
+    )
+
+
+def pq_codebooks(emb: DataFrame, m: int = PQ_M,
+                 ksub: int = PQ_KSUB) -> DataFrame:
+    """Product-quantization codebooks: (sub_id, code, subcent).
+
+    Entry ``code`` of subspace ``sub_id`` is that subvector of the
+    code-th lowest-vec_id vector — the same deterministic
+    quantizer-stand-in policy as the IVF centroids (engine-portable,
+    oracle-exact); a per-subspace k-means fit slots in by swapping the
+    returned table.  m*ksub rows total — always broadcastable.
+    """
+    from pyspark.sql import Window
+
+    d_sub = DIM // m
+    w = Window.orderBy("vec_id")
+    base = (
+        emb.orderBy("vec_id").limit(ksub)
+        .withColumn("code", F.row_number().over(w) - 1)
+        .select("code", "embedding")
+    )
+    return _subvectors(base, "embedding", m, d_sub, "subcent").select(
+        "sub_id", "code", "subcent"
+    )
+
+
+def pq_codes(emb: DataFrame, books: DataFrame | None = None,
+             m: int = PQ_M, ksub: int = PQ_KSUB) -> DataFrame:
+    """PQ code assignment: (vec_id, sub_id, code) — each subvector mapped
+    to its nearest codebook entry (squared L2, code-ASC ties).
+
+    The compressed index of IVF-PQ: m codes of log2(ksub) bits replace
+    d floats per vector (64x compression at 8x4 bits over 64 floats).
+    One narrow scan x broadcast of the m*ksub codebook; the per-(vec, sub)
+    argmin is a bounded ksub-row window.
+    """
+    from pyspark.sql import Window
+
+    d_sub = DIM // m
+    if books is None:
+        books = pq_codebooks(emb, m, ksub)
+    subs = _subvectors(emb.select("vec_id", "embedding"),
+                       "embedding", m, d_sub, "subvec")
+    scored = subs.join(F.broadcast(books), "sub_id").select(
+        "vec_id", "sub_id", "code", _l2_e9(F.col("subvec"), F.col("subcent")).alias("d")
+    )
+    w = Window.partitionBy("vec_id", "sub_id").orderBy(
+        F.col("d").asc(), F.col("code").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub_id", "code")
+    )
+
+
+def pq_topk(emb: DataFrame, k: int = 10, query_mod: int = 25,
+            m: int = PQ_M, ksub: int = PQ_KSUB,
+            books: DataFrame | None = None) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: (query_id, rank,
+    neighbor_id, adist_e9) — approximate L2 neighbors scored WITHOUT
+    touching candidate vectors, only their m small codes.
+
+    The query precomputes its distance table to all m*ksub sub-centroids
+    (broadcast — |Q|*m*ksub rows); a candidate's ADC distance is then the
+    sum of m table lookups, expressed as an equi-join of the codes table
+    with the distance table on (sub_id, code) + a partial-aggregated
+    groupBy(query, candidate).  Never |Q| x |C| x d work, no per-row
+    Python, all integer arithmetic (see _l2_e9).  At corpus scale this
+    composes with IVF (probe lists first, ADC within) — IVF-PQ.
+    """
+    from pyspark.sql import Window
+
+    d_sub = DIM // m
+    if books is None:
+        books = pq_codebooks(emb, m, ksub)
+    codes = pq_codes(emb, books, m, ksub)
+    qsubs = _subvectors(
+        emb.filter(F.col("vec_id") % query_mod == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding"),
+        "embedding", m, d_sub, "subvec",
+    )
+    qdist = qsubs.join(F.broadcast(books), "sub_id").select(
+        "query_id", "sub_id", "code",
+        _l2_e9(F.col("subvec"), F.col("subcent")).alias("d"),
+    )
+    pairs = (
+        codes.join(F.broadcast(qdist), ["sub_id", "code"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("adist_e9"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist_e9").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adist_e9")
+    )
+
+
 def _plane_weight(plane: int, dim_idx):
     """Deterministic integer hyperplane weight in [-1000, 1000]."""
     return (dim_idx * 2654435761 + F.lit(plane * 40503 + 7919)) % 2001 - 1000

@@ -548,3 +548,41 @@ def test_media_decode_arrow_batch_cap(spark):
     assert got == exp
     # n_bytes really measured the payload that crossed the Arrow boundary
     assert {v[2] for v in got.values()} == {16 * k for k in range(1, 6)}
+
+
+def test_pq_adc_properties(spark):
+    """PQ/ADC contracts: (a) codebook-source vectors self-code exactly
+    (distance 0 at their own entry); (b) ADC recall@10 vs brute-force L2
+    clears 5x the random floor even with the un-learned lowest-id
+    codebook (a k-means codebook slots in via books=); (c) ranks are
+    contiguous per query and the plan stays equi-join only."""
+    import numpy as np
+
+    from ocrspark.ops import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    rows = emb.collect()
+    V = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    ids = sorted(V)
+    codes = {(r.vec_id, r.sub_id): r.code
+             for r in similarity.pq_codes(emb).collect()}
+    for rank, v in enumerate(ids[:similarity.PQ_KSUB]):
+        for s in range(similarity.PQ_M):
+            assert codes[(v, s)] == rank
+    qs = [i for i in ids if i % 25 == 0]
+    exact = {q: {c for _, c in sorted(
+        ((float(np.sum((V[q] - V[c]) ** 2)), c) for c in ids if c != q)
+    )[:10]} for q in qs}
+    pq = similarity.pq_topk(emb, k=10)
+    plan = _plan(pq)
+    assert "CartesianProduct" not in plan, plan
+    got_rows = pq.collect()
+    got = {}
+    ranks = {}
+    for r in got_rows:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        ranks.setdefault(r.query_id, []).append(r.rank)
+    assert set(got) == set(qs)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values())
+    recall = sum(len(got[q] & exact[q]) for q in qs) / (10 * len(qs))
+    assert recall >= 0.1, f"ADC recall collapsed: {recall:.3f}"
