@@ -342,6 +342,12 @@ def _q_pq_topk(spark, sf_dir):
     return similarity.pq_topk(_tbl(spark, sf_dir, "embeddings"))
 
 
+def _q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ: coarse-cell pruning + ADC code scoring — the canonical
+    10^12-vector ANN index shape."""
+    return similarity.ivfpq_topk(_tbl(spark, sf_dir, "embeddings"))
+
+
 def _q_tfidf_topterms(spark, sf_dir):
     """Top-5 tf-idf keywords per document (corpus-curation surface)."""
     return textstats.tfidf_topterms(_tbl(spark, sf_dir, "documents"))
@@ -665,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk_two_level": _q_ivf_topk_two_level,
         "ann_pq_codes": _q_pq_codes,
         "ann_pq_topk": _q_pq_topk,
+        "ann_ivfpq_topk": _q_ivfpq_topk,
         "w2_sessionize_events": _q_sessionize_events,
         "w1_windowed_event_counts": _q_windowed_counts,
         "j4_keeplatest_orders": _q_keeplatest,
@@ -1547,6 +1554,55 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adist_e9
 FROM r WHERE rank <= {k}"""
 
 
+def _sql_ivfpq_topk(k: int = 10, n_centroids: int = 16,
+                    n_probe: int = 2) -> str:
+    """Twin of similarity.ivfpq_topk: cosine-IVF cell pruning + ADC over
+    PQ codes within the probed lists."""
+    cdot = ("list_sum(list_transform(generate_series(1, 64), "
+            "i -> e.embedding[i]::DOUBLE * c.cent[i]::DOUBLE))")
+    cnq = ("sqrt(list_sum(list_transform(generate_series(1, 64), "
+           "i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))")
+    cnc = ("sqrt(list_sum(list_transform(generate_series(1, 64), "
+           "i -> c.cent[i]::DOUBLE * c.cent[i]::DOUBLE)))")
+    return f"""{_pq_ctes()},
+cents AS (
+  SELECT vec_id AS cell_id, embedding AS cent FROM embeddings
+  ORDER BY vec_id LIMIT {n_centroids}
+),
+cranked AS (
+  SELECT e.vec_id, c.cell_id,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round({cdot} / ({cnq} * {cnc}), 9) DESC,
+                    c.cell_id ASC) AS crank
+  FROM embeddings e CROSS JOIN cents c
+),
+lists AS (SELECT vec_id AS neighbor_id, cell_id FROM cranked WHERE crank = 1),
+probes AS (
+  SELECT vec_id AS query_id, cell_id FROM cranked
+  WHERE crank <= {n_probe} AND vec_id % 25 = 0
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM probes JOIN lists USING (cell_id)
+  WHERE query_id <> neighbor_id
+),
+pairs AS (
+  SELECT cd.query_id, cd.neighbor_id, sum(q.d) AS ad
+  FROM cand cd
+  JOIN codes c ON c.vec_id = cd.neighbor_id
+  JOIN qdist q ON q.query_id = cd.query_id
+              AND q.sub_id = c.sub_id AND q.code = c.code
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, neighbor_id, CAST(ad AS BIGINT) AS adist_e9,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ad ASC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adist_e9
+FROM r WHERE rank <= {k}"""
+
+
 def _sql_lsh_search_multiprobe(k: int = 5, n_planes: int = 8) -> str:
     """Twin of similarity.lsh_search_multiprobe (self + hamming-1 probes)."""
     dot = "list_sum(list_transform(generate_series(1, 64), i -> qe[i]::DOUBLE * ce[i]::DOUBLE))"
@@ -1716,6 +1772,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk_two_level": _sql_ivf_topk_two_level(),
         "ann_pq_codes": _sql_pq_codes(),
         "ann_pq_topk": _sql_pq_topk(),
+        "ann_ivfpq_topk": _sql_ivfpq_topk(),
         "w2_sessionize_events": _sql_sessionize_events(),
         "w1_windowed_event_counts": (
             "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H')"

@@ -622,6 +622,64 @@ def pq_topk(emb: DataFrame, k: int = 10, query_mod: int = 25,
     )
 
 
+def ivfpq_topk(emb: DataFrame, k: int = 10, query_mod: int = 25,
+               n_centroids: int = N_CENTROIDS, n_probe: int = N_PROBE,
+               m: int = PQ_M, ksub: int = PQ_KSUB) -> DataFrame:
+    """IVF-PQ: the canonical corpus-scale ANN composition — coarse cells
+    prune candidates (probe ``n_probe`` inverted lists), ADC over PQ
+    codes scores them without ever touching candidate vectors.
+
+    Per query: |C| * n_probe / n_centroids candidates, each scored by m
+    integer table lookups — the index the full pipeline would serve from
+    at 10^12 vectors (lists partition-pruned by cell_id, codes 64x
+    smaller than raw floats).  Cell assignment reuses the cosine IVF
+    quantizer (``ivf_assignments``); within-cell scoring is squared-L2
+    ADC (``pq_codebooks``/``pq_codes``), both already oracle-pinned.
+    Recall baseline: ``cosine_topk``; uncompressed variant: ``ivf_topk``.
+    """
+    from pyspark.sql import Window
+
+    asg = ivf_assignments(emb, n_centroids)
+    books = pq_codebooks(emb, m, ksub)
+    codes = pq_codes(emb, books, m, ksub)
+    lists = asg.filter(F.col("crank") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "cell_id"
+    )
+    probes = asg.filter(
+        (F.col("vec_id") % query_mod == 0) & (F.col("crank") <= n_probe)
+    ).select(F.col("vec_id").alias("query_id"), "cell_id")
+    d_sub = DIM // m
+    qsubs = _subvectors(
+        emb.filter(F.col("vec_id") % query_mod == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding"),
+        "embedding", m, d_sub, "subvec",
+    )
+    qdist = qsubs.join(F.broadcast(books), "sub_id").select(
+        "query_id", "sub_id", "code",
+        _l2_e9(F.col("subvec"), F.col("subcent")).alias("d"),
+    )
+    cand = (
+        probes.join(lists, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    pairs = (
+        cand.join(codes.withColumnRenamed("vec_id", "neighbor_id"),
+                  "neighbor_id")
+        .join(F.broadcast(qdist), ["query_id", "sub_id", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adist_e9"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist_e9").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adist_e9")
+    )
+
+
 def _plane_weight(plane: int, dim_idx):
     """Deterministic integer hyperplane weight in [-1000, 1000]."""
     return (dim_idx * 2654435761 + F.lit(plane * 40503 + 7919)) % 2001 - 1000

@@ -586,3 +586,22 @@ def test_pq_adc_properties(spark):
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values())
     recall = sum(len(got[q] & exact[q]) for q in qs) / (10 * len(qs))
     assert recall >= 0.1, f"ADC recall collapsed: {recall:.3f}"
+
+
+def test_ivfpq_candidates_subset_of_ivf(spark):
+    """IVF-PQ must score exactly the IVF-probed candidate universe (same
+    cells, same lists) — its results are a subset of the uncompressed
+    ivf_topk's candidate set at exhaustive k, with contiguous ranks."""
+    from ocrspark.ops import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n = emb.count()
+    ivf_all = {(r.query_id, r.neighbor_id)
+               for r in similarity.ivf_topk(emb, k=n).collect()}
+    pq = similarity.ivfpq_topk(emb, k=10).collect()
+    assert {(r.query_id, r.neighbor_id) for r in pq} <= ivf_all
+    ranks = {}
+    for r in pq:
+        ranks.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values())
+    assert len(pq) > 0
