@@ -342,6 +342,12 @@ def _q_pq_topk(spark, sf_dir):
     return similarity.pq_topk(_tbl(spark, sf_dir, "embeddings"))
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-shaped: embedding near-dup pairs -> components -> keeper."""
+    return similarity.semantic_dedup(_tbl(spark, sf_dir, "embeddings"),
+                                     threshold=0.4)
+
+
 def _q_ivfpq_topk(spark, sf_dir):
     """IVF-PQ: coarse-cell pruning + ADC code scoring — the canonical
     10^12-vector ANN index shape."""
@@ -672,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_codes": _q_pq_codes,
         "ann_pq_topk": _q_pq_topk,
         "ann_ivfpq_topk": _q_ivfpq_topk,
+        "dedup_semantic": _q_semantic_dedup,
         "w2_sessionize_events": _q_sessionize_events,
         "w1_windowed_event_counts": _q_windowed_counts,
         "j4_keeplatest_orders": _q_keeplatest,
@@ -1631,6 +1638,30 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
 FROM r WHERE rank <= {k}"""
 
 
+def _sql_semantic_dedup(threshold_e9: int = 400_000_000) -> str:
+    """Twin of similarity.semantic_dedup: the embedding near-dup pair SQL
+    feeding the recursive-reachability components twin."""
+    near = _sql_embedding_near_dups(threshold_e9).strip()
+    assert near.startswith("WITH ")
+    return O._recursive(f"""{near[:near.rindex("SELECT DISTINCT")].rstrip().rstrip(",")},
+spairs AS (
+  {near[near.rindex("SELECT DISTINCT"):]}
+),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM spairs
+  UNION SELECT id2, id1 FROM spairs
+),
+reach(node, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+),
+labels AS (SELECT node, min(lab) AS lab FROM reach GROUP BY node),
+sizes AS (SELECT lab, count(*) AS cluster_size FROM labels GROUP BY lab)
+SELECT node AS vec_id, labels.lab AS rep_id, cluster_size
+FROM labels JOIN sizes USING (lab)""")
+
+
 def _sql_topic_enum() -> str:
     from ocrspark import config as C
 
@@ -1773,6 +1804,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_codes": _sql_pq_codes(),
         "ann_pq_topk": _sql_pq_topk(),
         "ann_ivfpq_topk": _sql_ivfpq_topk(),
+        "dedup_semantic": _sql_semantic_dedup(),
         "w2_sessionize_events": _sql_sessionize_events(),
         "w1_windowed_event_counts": (
             "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H')"

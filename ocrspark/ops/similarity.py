@@ -275,6 +275,29 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
     )
 
 
+def semantic_dedup(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: (vec_id, rep_id,
+    cluster_size) — embedding-cosine near-dup pairs (banded-LSH
+    candidates, exact verify) chained into connected components, each
+    vector labeled with its component's minimum id as the canonical
+    keeper (Abbas et al. 2023's cluster-then-drop, with the LSH bands
+    playing the coarse-cluster role).
+
+    Pure composition of two already-oracled stages
+    (``embedding_near_dups`` + ``ops.dedup.components``), so the scale
+    story is theirs: capped band equi-joins for candidates, O(diameter)
+    label-propagation rounds (or the star variant) for components.
+    """
+    from .dedup import components
+
+    pairs = embedding_near_dups(emb, threshold).select(
+        F.col("id1").alias("doc1"), F.col("id2").alias("doc2")
+    )
+    return components(pairs).select(
+        F.col("doc_id").alias("vec_id"), "rep_id", "cluster_size"
+    )
+
+
 N_CENTROIDS = 16
 N_PROBE = 2
 
