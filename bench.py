@@ -122,6 +122,12 @@ def main() -> None:
         # round-4 additions
         queries["dedup_substring"] = lambda: dedup.substring_dup_spans(
             tbl("documents")).count()
+        queries["ann_pq_topk"] = lambda: similarity.pq_topk(
+            tbl("embeddings")).count()
+        queries["ann_ivfpq_topk"] = lambda: similarity.ivfpq_topk(
+            tbl("embeddings")).count()
+        queries["dedup_semantic"] = lambda: similarity.semantic_dedup(
+            tbl("embeddings"), threshold=0.4).count()
         queries["text_gopher"] = lambda: textstats.gopher_quality(
             tbl("documents")).count()
         queries["text_top_ngrams"] = lambda: textstats.top_ngrams(
