@@ -270,10 +270,13 @@ def substring_dup_spans(docs: DataFrame, text_col: str = "text",
     longest run reaches ``min_run_tokens``.
 
     Scale shape: collisions come from an equi-join on the gram hash with
-    the same ``cap_by_key`` df cap as every candidate generator (a
-    corpus-hot boilerplate gram is exactly what the cap drops), and the
-    island window partitions by (pair, diagonal) — a key that cannot be
-    corpus-hot after the cap.
+    the same ``cap_by_key`` policy as every candidate generator (a
+    corpus-hot boilerplate gram is exactly what the cap drops) — here the
+    cap counts OCCURRENCES (positions), slightly stricter than the
+    distinct-doc df cap of ``ngram_jaccard_dedup``, which is the right
+    bound for the positional join it guards.  The island window
+    partitions by (pair, diagonal) — a key that cannot be corpus-hot
+    after the cap.
     """
     from pyspark.sql import Window
 

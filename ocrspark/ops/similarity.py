@@ -613,6 +613,12 @@ def pq_topk(emb: DataFrame, k: int = 10, query_mod: int = 25,
     groupBy(query, candidate).  Never |Q| x |C| x d work, no per-row
     Python, all integer arithmetic (see _l2_e9).  At corpus scale this
     composes with IVF (probe lists first, ADC within) — IVF-PQ.
+
+    Contract: the QUERY side is bounded (same as ``cosine_topk`` — the
+    per-query distance table is what gets broadcast, and the bare join
+    key (sub_id, code) has only m*ksub distinct values, so a corpus-sized
+    query set has no good plan here at all; corpus x corpus similarity
+    belongs to the near-dup/LSH family, not ADC).
     """
     from pyspark.sql import Window
 
@@ -659,6 +665,11 @@ def ivfpq_topk(emb: DataFrame, k: int = 10, query_mod: int = 25,
     quantizer (``ivf_assignments``); within-cell scoring is squared-L2
     ADC (``pq_codebooks``/``pq_codes``), both already oracle-pinned.
     Recall baseline: ``cosine_topk``; uncompressed variant: ``ivf_topk``.
+
+    The query distance table is broadcast (|Q|*m*ksub rows) — the
+    bounded-query contract of ``pq_topk`` applies; with a huge query
+    cohort drop the broadcast hint and the (query_id, sub_id, code) join
+    still parallelizes (query_id in the key), at shuffle cost.
     """
     from pyspark.sql import Window
 
