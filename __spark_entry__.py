@@ -370,6 +370,12 @@ def _q_top_ngrams(spark, sf_dir):
     return textstats.top_ngrams(_tbl(spark, sf_dir, "documents"))
 
 
+def _q_ppl_proxy(spark, sf_dir):
+    """CCNet-style perplexity proxy: char-trigram LM on the train split,
+    mean NLL per doc (integer-scaled)."""
+    return textstats.ppl_proxy(_tbl(spark, sf_dir, "documents"))
+
+
 def _q_gopher_quality(spark, sf_dir):
     """Gopher/C4 repetition + shape filters (dup-2gram mass, mean word
     length, symbol ratio) with the standard pass thresholds."""
@@ -655,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_quality": _q_gopher_quality,
         "text_lang_confusion": _q_lang_confusion,
         "text_top_ngrams": _q_top_ngrams,
+        "text_ppl_proxy": _q_ppl_proxy,
         "dedup_substring_spans": _q_substring_spans,
         "curate_stratified_sample": _q_stratified_sample,
         "curate_source_rollup": _q_source_rollup,
@@ -1150,6 +1157,46 @@ r AS (
   FROM c
 )
 SELECT * FROM r WHERE rank <= {k}"""
+
+
+def _sql_ppl_proxy() -> str:
+    """Twin of textstats.ppl_proxy (char-trigram LM, add-one smoothing,
+    int64 NLLs summed then floor-divided)."""
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(
+    CASE WHEN length(t) >= 3 THEN
+      list_transform(generate_series(1, length(t) - 2),
+                     i -> substr(t, i, 3))
+    ELSE [] END) AS g
+  FROM d
+),
+sp AS (
+  SELECT doc_id, {_split_case_sql(_BP_SQL)} AS split
+  FROM documents
+),
+model AS (
+  SELECT g.g, count(*) AS c
+  FROM g JOIN sp USING (doc_id)
+  WHERE sp.split = 'train'
+  GROUP BY 1
+),
+st AS (SELECT sum(c) AS n_total, count(*) AS v FROM model),
+scored AS (
+  SELECT g.doc_id,
+         CAST(round(-round(ln((coalesce(m.c, 0) + 1)::DOUBLE
+                              / (st.n_total + st.v)::DOUBLE), 9) * 1e9)
+              AS BIGINT) AS nll
+  FROM g LEFT JOIN model m USING (g) CROSS JOIN st
+)
+SELECT doc_id, count(*) AS n_grams,
+       CAST(sum(nll) // count(*) AS BIGINT) AS avg_nll_e9
+FROM scored GROUP BY 1"""
 
 
 def _sql_gopher_quality() -> str:
@@ -1777,6 +1824,7 @@ def oracle_sql() -> dict[str, str]:
         "text_gopher_quality": _sql_gopher_quality(),
         "text_lang_confusion": _sql_lang_confusion(),
         "text_top_ngrams": _sql_top_ngrams(),
+        "text_ppl_proxy": _sql_ppl_proxy(),
         "dedup_substring_spans": _sql_substring_spans(),
         "curate_stratified_sample": _sql_stratified_sample(),
         "curate_source_rollup": _sql_source_rollup(),

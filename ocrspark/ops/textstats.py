@@ -109,6 +109,58 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", canonical_fp(F.col(text_col)).alias("fp"))
 
 
+def ppl_proxy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style perplexity-proxy quality score: (doc_id, n_grams,
+    avg_nll_e9) — each document's mean negative log-probability under a
+    char-trigram language model fitted on the corpus's own TRAIN split
+    (``sampling.deterministic_split``), add-one smoothed.  High avg_nll =
+    unlike the reference distribution (gibberish, wrong language,
+    boilerplate soup) — the standard LM-filtering signal, with the char
+    LM replacing KenLM so everything stays in-plan and deterministic.
+
+    Exactness: per-gram log-probs are rounded 9dp then scaled to int64
+    BEFORE the per-doc sum (integer addition is order-independent —
+    double summation across partitions is not), and the mean is integer
+    floor-division.  Scale shape: the model is a groupBy over a vocab
+    bounded by |charset|^3 (broadcastable by construction), its N/V
+    normalizer a broadcast 1-row aggregate; scoring is one equi-join of
+    the exploded grams against the broadcast model — no corpus-sized
+    shuffle at all.  Docs with fewer than 3 chars have no grams and are
+    absent from the output.
+    """
+    from .sampling import deterministic_split
+
+    canon = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    base = docs.select("doc_id", canon.alias("t"))
+    grams = base.select(
+        "doc_id",
+        F.explode(F.expr(
+            "CASE WHEN length(t) >= 3 THEN "
+            "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)) "
+            "ELSE array() END"
+        )).alias("g"),
+    )
+    train = deterministic_split(docs).filter(F.col("split") == "train") \
+        .select("doc_id")
+    model = grams.join(train, "doc_id").groupBy("g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = model.agg(F.sum("c").alias("N"), F.count(F.lit(1)).alias("V"))
+    logp9 = F.round(
+        F.log((F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+              / (F.col("N") + F.col("V")).cast("double")), 9
+    )
+    scored = (
+        grams.join(F.broadcast(model), "g", "left")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(-logp9 * 1e9).cast("long").alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.expr("sum(nll) div count(1)").alias("avg_nll_e9"),
+    )
+
+
 def top_ngrams(docs: DataFrame, text_col: str = "text",
                n: int = 3, k: int = 50) -> DataFrame:
     """Corpus-wide most frequent word n-grams: (rank, gram, n_occurrences,

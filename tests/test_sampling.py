@@ -161,3 +161,20 @@ def test_stratified_sample_empty_rates(spark):
         [(1, ""), (2, "s")], "doc_id int, source string")
     out = sampling.stratified_sample(docs, rates={}).collect()
     assert all(r.kept == 1 and r.rate_bp == 10000 for r in out)
+
+
+def test_ppl_proxy_orders_gibberish_above_indistribution(spark):
+    """The char-trigram LM must score out-of-distribution text (gibberish
+    trigrams unseen in train) strictly worse (higher mean NLL) than text
+    drawn from the corpus's own distribution."""
+    from ocrspark.ops import textstats
+
+    common = "the quick brown fox jumps over the lazy dog and runs on "
+    docs = spark.createDataFrame(
+        [(i, common * 4) for i in range(30)]
+        + [(100, common * 4), (101, "zxq jvk wqz xjq kvz qzx vkj " * 8)],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.avg_nll_e9 for r in textstats.ppl_proxy(docs).collect()}
+    assert got[101] > got[100]
+    assert got[100] == got[0]  # identical text, identical score
