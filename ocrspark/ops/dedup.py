@@ -42,13 +42,22 @@ def cap_by_key(df: DataFrame, keys: list[str], max_n: int,
     hot key to one row per input partition before any shuffle, the in-cap
     key list is filtered FIRST (hot keys never reach the join's small
     side), and the join back is an equi-join AQE can broadcast (small
-    in-cap list) or skew-split.  Same row semantics as the window form.
+    in-cap list) or skew-split.  Same row semantics as the window form
+    INCLUDING null keys: the join-back uses eqNullSafe (<=>), so a NULL
+    key value counts as a group exactly like ``Window.partitionBy`` does,
+    instead of being silently dropped by plain equi-join semantics.
+    eqNullSafe keys remain hash-joinable (AQE broadcast/skew-split as
+    with ``=``).
     """
+    from functools import reduce
+    from operator import and_
+
     sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_keyn"))
     in_cap = sizes.filter(
         (F.col("_keyn") >= min_n) & (F.col("_keyn") <= max_n)
-    ).select(*keys)
-    return df.join(in_cap, keys)
+    ).select(*[F.col(k).alias(f"_cap_{k}") for k in keys])
+    cond = reduce(and_, [df[k].eqNullSafe(F.col(f"_cap_{k}")) for k in keys])
+    return df.join(in_cap, cond).drop(*[f"_cap_{k}" for k in keys])
 
 
 def canonical_fp(text_col):
@@ -255,28 +264,33 @@ def _unpersist_tracked(spark_session, ids) -> None:
             r.unpersist(False)
 
 
-def substring_dup_spans(docs: DataFrame, text_col: str = "text",
-                        n: int = 8, max_df: int = MAX_DF,
-                        min_run_tokens: int = 8) -> DataFrame:
-    """Exact-substring duplication between document pairs (the signal
-    behind Lee et al. 2021's exact-substring dedup): (doc1, doc2, n_runs,
-    max_run_tokens), where a run is a maximal verbatim shared word span.
+def _substring_runs(docs: DataFrame, text_col: str, n: int,
+                    max_df: int) -> DataFrame:
+    """Maximal verbatim shared word runs between document pairs:
+    (doc1, doc2, diag, run_tokens, min_i, max_i) — min_i/max_i are the
+    run's first/last gram start positions in doc1 (doc2 positions follow
+    from the diagonal: j = i - diag).
 
     Construction: word n-grams WITH positions; a shared gram at positions
     (i, j) is a collision on diagonal i-j, and consecutive collisions on
     one diagonal chain into a run (detected with the classic
     i - row_number() gap-and-island trick — no iteration).  A run of r
-    grams is a shared span of r + n - 1 words; pairs are kept when their
-    longest run reaches ``min_run_tokens``.
+    grams is a shared span of r + n - 1 words.
 
-    Scale shape: collisions come from an equi-join on the gram hash with
-    the same ``cap_by_key`` policy as every candidate generator (a
-    corpus-hot boilerplate gram is exactly what the cap drops) — here the
-    cap counts OCCURRENCES (positions), slightly stricter than the
-    distinct-doc df cap of ``ngram_jaccard_dedup``, which is the right
-    bound for the positional join it guards.  The island window
-    partitions by (pair, diagonal) — a key that cannot be corpus-hot
-    after the cap.
+    Collisions are VERBATIM-VERIFIED: the equi-join key is the 48-bit
+    gram hash (a cheap fixed-width shuffle key), but every candidate
+    collision is then checked against the actual gram strings, so a
+    cross-doc hash collision can never fabricate a run — an operator
+    named "exact-substring" must be exact (ADVICE r4).  The gram string
+    rides the capped join only (post-cap volume, never the raw corpus).
+
+    Scale shape: the equi-join carries the same ``cap_by_key`` policy as
+    every candidate generator (a corpus-hot boilerplate gram is exactly
+    what the cap drops) — here the cap counts OCCURRENCES (positions),
+    slightly stricter than the distinct-doc df cap of
+    ``ngram_jaccard_dedup``, which is the right bound for the positional
+    join it guards.  The island window partitions by (pair, diagonal) —
+    a key that cannot be corpus-hot after the cap.
     """
     from pyspark.sql import Window
 
@@ -292,29 +306,123 @@ def substring_dup_spans(docs: DataFrame, text_col: str = "text",
         "doc_id", F.posexplode(grams).alias("i", "gram")
     ).withColumn(
         "h", F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10).cast("long")
-    ).drop("gram")
+    )
     occ = cap_by_key(occ, ["h"], max_df)
-    a = occ.select(F.col("doc_id").alias("doc1"), F.col("i").alias("i"), "h")
-    b = occ.select(F.col("doc_id").alias("doc2"), F.col("i").alias("j"), "h")
+    a = occ.select(F.col("doc_id").alias("doc1"), F.col("i").alias("i"),
+                   "h", "gram")
+    b = occ.select(F.col("doc_id").alias("doc2"), F.col("i").alias("j"),
+                   "h", F.col("gram").alias("gram2"))
     # no distinct needed: (doc, position) carries exactly one gram hash,
     # so a (doc1, doc2, i, diag) collision row cannot occur twice — the
     # island row_number below is safe without paying a dedup shuffle
     coll = (
         a.join(b, "h")
-        .filter(F.col("doc1") < F.col("doc2"))
+        .filter((F.col("doc1") < F.col("doc2"))
+                & (F.col("gram") == F.col("gram2")))
         .select("doc1", "doc2", "i", (F.col("i") - F.col("j")).alias("diag"))
     )
     w = Window.partitionBy("doc1", "doc2", "diag").orderBy("i")
-    runs = (
+    return (
         coll.withColumn("grp", F.col("i") - F.row_number().over(w))
         .groupBy("doc1", "doc2", "diag", "grp")
-        .agg((F.count(F.lit(1)) + n - 1).alias("run_tokens"))
+        .agg((F.count(F.lit(1)) + n - 1).alias("run_tokens"),
+             F.min("i").alias("min_i"), F.max("i").alias("max_i"))
+        .drop("grp")
     )
+
+
+def substring_dup_spans(docs: DataFrame, text_col: str = "text",
+                        n: int = 8, max_df: int = MAX_DF,
+                        min_run_tokens: int = 8) -> DataFrame:
+    """Exact-substring duplication between document pairs (the signal
+    behind Lee et al. 2021's exact-substring dedup): (doc1, doc2, n_runs,
+    max_run_tokens), where a run is a maximal verbatim shared word span
+    (see ``_substring_runs`` for construction + scale shape; pairs are
+    kept when their longest run reaches ``min_run_tokens``).  The
+    cleaned-corpus twin is ``substring_dedup_keep``.
+    """
+    runs = _substring_runs(docs, text_col, n, max_df)
     return (
         runs.filter(F.col("run_tokens") >= min_run_tokens)
         .groupBy("doc1", "doc2")
         .agg(F.count(F.lit(1)).alias("n_runs"),
              F.max("run_tokens").alias("max_run_tokens"))
+    )
+
+
+def substring_dedup_keep(docs: DataFrame, text_col: str = "text",
+                         n: int = 8, max_df: int = MAX_DF,
+                         min_run_tokens: int = 8) -> DataFrame:
+    """Exact-substring dedup OUTPUT (Lee et al. 2021): the cleaned corpus
+    — (doc_id, n_tokens, n_spans_dropped, n_tokens_dropped, kept_text).
+
+    Keep-first policy: for every verbatim shared span of >=
+    ``min_run_tokens`` words between a pair, the occurrence in the LOWER
+    doc_id survives and the higher doc drops its span's word range (so a
+    span shared by k docs survives exactly once, in the smallest doc_id).
+    Overlapping/adjacent drop ranges within a doc are merged into maximal
+    intervals before removal; ``kept_text`` is the doc's canonical word
+    sequence (lowercased ``[a-z0-9]+`` tokens — the token domain the runs
+    are detected in) with dropped intervals removed.  Cross-doc only:
+    within-doc self-repeats are the repetition filters' job
+    (``textstats.gopher_quality``).
+
+    Scale shape: runs come from ``_substring_runs`` (capped verbatim
+    positional join); interval merging is one window per (doc) — doc-keyed,
+    never corpus-hot; span removal is an array-level ``filter`` against
+    the doc's own merged interval list (broadcast-free, no corpus-wide
+    token explode).  A planted-duplicate corpus re-reports ZERO spans
+    after this pass (tested).
+    """
+    from pyspark.sql import Window
+
+    runs = _substring_runs(docs, text_col, n, max_df)
+    drops = runs.filter(F.col("run_tokens") >= min_run_tokens).select(
+        F.col("doc2").alias("doc_id"),
+        (F.col("min_i") - F.col("diag")).alias("s"),
+        (F.col("max_i") - F.col("diag") + n - 1).alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = (
+        drops.withColumn(
+            "new_island",
+            (prev_max.isNull() | (F.col("s") > prev_max + 1)).cast("int"),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "island")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans_dropped"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("n_tokens_dropped"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("s"), F.col("e")))
+        ).alias("drops"),
+    )
+    base = docs.select("doc_id", _words(F.col(text_col)).alias("ws"))
+    out = base.join(per_doc, "doc_id", "left")
+    kept = F.when(
+        F.col("drops").isNull(), F.col("ws")
+    ).otherwise(
+        F.expr("filter(ws, (x, i) -> "
+               "NOT exists(drops, d -> d.s <= i AND i <= d.e))")
+    )
+    return out.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tokens"),
+        F.coalesce("n_spans_dropped", F.lit(0)).cast("long")
+        .alias("n_spans_dropped"),
+        F.coalesce("n_tokens_dropped", F.lit(0)).cast("long")
+        .alias("n_tokens_dropped"),
+        F.array_join(kept, " ").alias("kept_text"),
     )
 
 
@@ -349,37 +457,44 @@ def components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     )
     prev_ids: set[int] = set()
     changed = 1
-    for _ in range(max_iter):
-        neighbor = (
-            edges.join(labels, edges["a"] == labels["node"])
-            .select(F.col("b").alias("node"), "lab")
-        )
-        new_labels, new_ids = _tracked_local_ckpt(
-            labels.union(neighbor).groupBy("node").agg(F.min("lab").alias("lab"))
-        )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("lab", "old"), "node")
-            .filter(F.col("lab") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        # the old round is now fully superseded (successor materialized,
-        # convergence counted) — its blocks are dead weight
-        _unpersist_tracked(spark, prev_ids)
-        prev_ids = new_ids
-        labels = new_labels
-        if changed == 0:
-            break
-    if changed != 0:
-        # NEVER return partial labels as if converged: a >max_iter-diameter
-        # chain would silently split one component across several rep_ids
-        # (under-dedup downstream).  Propagation rounds = graph diameter;
-        # components_star needs O(log^2 n) rounds regardless of diameter.
-        raise RuntimeError(
-            f"components: no fixpoint after {max_iter} rounds — graph "
-            "diameter exceeds max_iter; raise max_iter or use "
-            "components_star (logarithmic rounds)"
-        )
+    try:
+        for _ in range(max_iter):
+            neighbor = (
+                edges.join(labels, edges["a"] == labels["node"])
+                .select(F.col("b").alias("node"), "lab")
+            )
+            new_labels, new_ids = _tracked_local_ckpt(
+                labels.union(neighbor).groupBy("node").agg(F.min("lab").alias("lab"))
+            )
+            changed = (
+                new_labels.join(labels.withColumnRenamed("lab", "old"), "node")
+                .filter(F.col("lab") != F.col("old"))
+                .limit(1)
+                .count()
+            )
+            # the old round is now fully superseded (successor materialized,
+            # convergence counted) — its blocks are dead weight
+            _unpersist_tracked(spark, prev_ids)
+            prev_ids = new_ids
+            labels = new_labels
+            if changed == 0:
+                break
+        if changed != 0:
+            # NEVER return partial labels as if converged: a >max_iter-
+            # diameter chain would silently split one component across
+            # several rep_ids (under-dedup downstream).  Propagation rounds
+            # = graph diameter; components_star needs O(log^2 n) rounds
+            # regardless of diameter.
+            raise RuntimeError(
+                f"components: no fixpoint after {max_iter} rounds — graph "
+                "diameter exceeds max_iter; raise max_iter or use "
+                "components_star (logarithmic rounds)"
+            )
+    except BaseException:
+        # the error path must not leak executor storage: nothing we
+        # tracked is reachable by a caller once we raise (ADVICE r4)
+        _unpersist_tracked(spark, prev_ids | edge_ids)
+        raise
     # the result depends only on the FINAL labels checkpoint; the edge set
     # is loop-internal and can be freed now
     _unpersist_tracked(spark, edge_ids)
@@ -444,27 +559,32 @@ def components_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     )
     # nodes must be materialized NOW: it derives from the round-0 edge
     # checkpoint, whose blocks are freed as soon as round 1 supersedes it
-    nodes, _node_ids = _tracked_local_ckpt(_sym(e).select("u").distinct())
+    nodes, node_ids = _tracked_local_ckpt(_sym(e).select("u").distinct())
     stable = False
-    for _ in range(max_iter):
-        new_e, new_ids = _tracked_local_ckpt(_small_star(_large_star(e)))
-        norm_old = e.select(F.greatest("u", "v").alias("u"),
-                            F.least("u", "v").alias("v")).distinct()
-        norm_new = new_e.select(F.greatest("u", "v").alias("u"),
+    try:
+        for _ in range(max_iter):
+            new_e, new_ids = _tracked_local_ckpt(_small_star(_large_star(e)))
+            norm_old = e.select(F.greatest("u", "v").alias("u"),
                                 F.least("u", "v").alias("v")).distinct()
-        stable = (norm_new.exceptAll(norm_old).limit(1).count() == 0
-                  and norm_old.exceptAll(norm_new).limit(1).count() == 0)
-        # old round superseded (successor materialized, fixpoint checked)
-        _unpersist_tracked(spark, prev_ids)
-        prev_ids = new_ids
-        e = new_e
-        if stable:
-            break
-    if not stable:
-        raise RuntimeError(
-            f"components_star: no edge-set fixpoint after {max_iter} "
-            "rounds (expected O(log^2 n)); raise max_iter"
-        )
+            norm_new = new_e.select(F.greatest("u", "v").alias("u"),
+                                    F.least("u", "v").alias("v")).distinct()
+            stable = (norm_new.exceptAll(norm_old).limit(1).count() == 0
+                      and norm_old.exceptAll(norm_new).limit(1).count() == 0)
+            # old round superseded (successor materialized, fixpoint checked)
+            _unpersist_tracked(spark, prev_ids)
+            prev_ids = new_ids
+            e = new_e
+            if stable:
+                break
+        if not stable:
+            raise RuntimeError(
+                f"components_star: no edge-set fixpoint after {max_iter} "
+                "rounds (expected O(log^2 n)); raise max_iter"
+            )
+    except BaseException:
+        # same fail-path storage contract as ``components`` (ADVICE r4)
+        _unpersist_tracked(spark, prev_ids | node_ids)
+        raise
     # at the fixpoint e is a union of stars: (child, root) with root =
     # component min; roots themselves carry no outgoing edge
     child = e.select(F.greatest("u", "v").alias("node"),

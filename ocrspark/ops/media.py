@@ -83,13 +83,26 @@ def real_decode(refs: pd.Series, payloads: pd.Series) -> pd.DataFrame:
             widths.append(None); heights.append(None)
             nbytes.append(0); feats.append(None)
             continue
-        img = Image.open(io.BytesIO(bytes(payload)))
-        widths.append(img.width)
-        heights.append(img.height)
+        # fail-soft per ROW, not per batch: at corpus scale some corrupt
+        # payloads are certain, and one undecodable image must degrade to
+        # a null-feature row instead of failing the whole Arrow batch ->
+        # task -> (after retries) job (ADVICE r4).  Null (width, height,
+        # feature) with real n_bytes IS the error signature — downstream
+        # filters on feature IS NULL to quarantine.
+        try:
+            img = Image.open(io.BytesIO(bytes(payload)))
+            w, h = img.width, img.height
+            hist = np.asarray(img.convert("L").histogram(), dtype=np.float64)
+            bins = hist.reshape(8, 32).sum(axis=1)
+            feat = (bins / max(bins.sum(), 1.0)).astype(np.float32)
+        except Exception:
+            widths.append(None); heights.append(None)
+            nbytes.append(len(payload)); feats.append(None)
+            continue
+        widths.append(w)
+        heights.append(h)
         nbytes.append(len(payload))
-        hist = np.asarray(img.convert("L").histogram(), dtype=np.float64)
-        bins = hist.reshape(8, 32).sum(axis=1)
-        feats.append((bins / max(bins.sum(), 1.0)).astype(np.float32))
+        feats.append(feat)
     return pd.DataFrame({
         "media_ref": refs,
         "width": pd.array(widths, dtype="Int32"),

@@ -169,7 +169,11 @@ def test_cap_by_key_equals_window_form(spark):
 
     from ocrspark.ops import dedup
 
-    rows = [(i, f"k{i % 5}") for i in range(60)] + [(100 + i, "hot") for i in range(40)]
+    rows = ([(i, f"k{i % 5}") for i in range(60)]
+            + [(100 + i, "hot") for i in range(40)]
+            # NULL keys count as a group (window semantics) — the
+            # join-back is eqNullSafe, not a NULL-dropping equi-join
+            + [(200 + i, None) for i in range(7)])
     df = spark.createDataFrame(rows, "doc_id int, k string")
     w = Window.partitionBy("k")
     for min_n, max_n in [(1, 20), (2, 12), (13, 40)]:
@@ -605,3 +609,91 @@ def test_ivfpq_candidates_subset_of_ivf(spark):
         ranks.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values())
     assert len(pq) > 0
+
+
+def test_substring_dedup_keep_cleans_corpus(spark):
+    """Lee et al. exact-substring dedup OUTPUT: keep-first drops every
+    later occurrence of a >=min_run shared span, and the cleaned corpus
+    re-reports ZERO duplicated spans."""
+    from ocrspark.ops import dedup
+
+    shared = " ".join(f"dup{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [("a", f"alpha one two {shared} tail aa"),
+         ("b", f"beta {shared} other words here bb"),
+         ("c", f"gamma prefix words {shared} end cc"),
+         ("d", "totally unrelated text with enough words to stand alone")],
+        "doc_id string, text string",
+    )
+    spans = dedup.substring_dup_spans(docs).collect()
+    assert {(r.doc1, r.doc2) for r in spans} == {
+        ("a", "b"), ("a", "c"), ("b", "c")}
+    rows = {r.doc_id: r for r in dedup.substring_dedup_keep(docs).collect()}
+    # keep-first: the lowest doc_id keeps its occurrence, b and c drop it
+    assert "dup0" in rows["a"].kept_text
+    assert "dup0" not in rows["b"].kept_text
+    assert "dup0" not in rows["c"].kept_text
+    assert rows["b"].n_tokens_dropped == 12
+    assert rows["b"].n_spans_dropped == 1
+    assert rows["d"].n_spans_dropped == 0
+    assert rows["d"].kept_text.startswith("totally unrelated")
+    # untouched words survive in order around the dropped span
+    assert rows["b"].kept_text == "beta other words here bb"
+    cleaned = spark.createDataFrame(
+        [(r.doc_id, r.kept_text) for r in rows.values()],
+        "doc_id string, text string",
+    )
+    assert dedup.substring_dup_spans(cleaned).count() == 0
+
+
+def test_ppl_model_bounded_on_wide_charset(spark):
+    """The broadcast LM must be top-V by construction, not by charset
+    luck: a wide-charset (CJK-like) corpus keeps the model <= max_vocab
+    rows, and scoring still works with dropped grams at the smoothed
+    floor."""
+    from ocrspark.ops import textstats
+
+    docs = spark.createDataFrame(
+        [(f"d{i}",
+          "".join(chr(0x4E00 + (i * librate + j * 13) % 4000)
+                  for j in range(60)))
+         for i, librate in ((i, 97) for i in range(50))],
+        "doc_id string, text string",
+    )
+    model = textstats.ppl_trigram_model(docs, max_vocab=100)
+    assert model.count() <= 100
+    # far more distinct grams exist than the cap admits
+    uncapped = textstats.ppl_trigram_model(docs, max_vocab=1 << 20)
+    assert uncapped.count() > 100
+    out = textstats.ppl_proxy(docs, max_vocab=100).collect()
+    assert len(out) == 50
+    assert all(r.avg_nll_e9 > 0 for r in out)
+
+
+def test_strip_boilerplate_lines(spark):
+    """The top_ngrams strip list consumer: lines containing a corpus-hot
+    3-gram are removed, unique lines survive in order."""
+    from ocrspark.ops import textstats
+
+    bp = "subscribe to our newsletter now"
+    docs = spark.createDataFrame(
+        [(f"d{i}",
+          f"unique{i} alpha{i} beta{i} gamma{i}\n{bp}\n"
+          f"omega{i} delta{i} eps{i} zeta{i}")
+         for i in range(20)]
+        + [("clean", "totally distinct words only here")],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in
+           textstats.strip_boilerplate_lines(docs, k=3).collect()}
+    assert out["d0"].n_lines == 3 and out["d0"].n_lines_kept == 2
+    assert "newsletter" not in out["d0"].kept_text
+    assert out["d0"].kept_text == (
+        "unique0 alpha0 beta0 gamma0\nomega0 delta0 eps0 zeta0")
+    assert out["clean"].n_lines == 1 and out["clean"].n_lines_kept == 1
+    # an explicit (reviewed) strip list overrides the mined one
+    hot = spark.createDataFrame([("omega0 delta0 eps0",)], "gram string")
+    got = {r.doc_id: r for r in
+           textstats.strip_boilerplate_lines(docs, hot=hot).collect()}
+    assert got["d0"].n_lines_kept == 2 and "omega0" not in got["d0"].kept_text
+    assert got["d1"].n_lines_kept == 3
