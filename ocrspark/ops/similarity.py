@@ -106,21 +106,35 @@ def cosine_topk(emb: DataFrame, k: int = 10, query_mod: int = 25,
 
 
 def lsh_search(emb: DataFrame, k: int = 5, query_mod: int = 25,
-               n_planes: int = 8) -> DataFrame:
+               n_planes: int = 8,
+               queries: DataFrame | None = None) -> DataFrame:
     """Bucketed ANN: LSH bucket join -> exact cosine rerank within bucket.
 
     The scale path: instead of |Q| x |C| pairs, only same-bucket pairs are
     scored (expected |C| / 2^planes candidates per query).  Recall is
     tunable via n_planes / multi-probe; correctness baseline is
     ``cosine_topk``.
+
+    ``queries`` is the production query cohort: an explicit
+    (vec_id, embedding) DataFrame (need not be corpus rows — buckets are
+    recomputed from the query embeddings with the same deterministic
+    planes).  The ``vec_id % query_mod`` default is the driver-oracle
+    fixture cohort, not a shape production callers should inherit.
     """
     from pyspark.sql import Window
 
     b = lsh_buckets(emb, n_planes)
     e = emb.join(b, "vec_id")
-    q = e.filter(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
-    )
+    if queries is None:
+        q = e.filter(F.col("vec_id") % query_mod == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"), "bucket"
+        )
+    else:
+        q = queries.join(lsh_buckets(queries, n_planes), "vec_id").select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"), "bucket"
+        )
     c = e.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "bucket"
     )
@@ -144,7 +158,8 @@ def lsh_search(emb: DataFrame, k: int = 5, query_mod: int = 25,
 
 
 def lsh_search_multiprobe(emb: DataFrame, k: int = 5, query_mod: int = 25,
-                          n_planes: int = 8) -> DataFrame:
+                          n_planes: int = 8,
+                          queries: DataFrame | None = None) -> DataFrame:
     """Multi-probe bucketed ANN: each query also probes every bucket at
     hamming distance 1 from its own (flip one hyperplane sign), the
     standard recall knob for sign-LSH — vectors on the wrong side of ONE
@@ -155,6 +170,8 @@ def lsh_search_multiprobe(emb: DataFrame, k: int = 5, query_mod: int = 25,
     exactly one bucket and a query's probe buckets are pairwise distinct,
     so no dedup pass precedes the rerank window.
     Recall baseline: ``cosine_topk``; single-probe: ``lsh_search``.
+    ``queries`` overrides the fixture ``vec_id % query_mod`` cohort with
+    an explicit (vec_id, embedding) query DataFrame (see ``lsh_search``).
     """
     from pyspark.sql import Window
 
@@ -164,8 +181,12 @@ def lsh_search_multiprobe(emb: DataFrame, k: int = 5, query_mod: int = 25,
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(2 ** p)) for p in range(n_planes)],
     )
+    if queries is None:
+        qbase = e.filter(F.col("vec_id") % query_mod == 0)
+    else:
+        qbase = queries.join(lsh_buckets(queries, n_planes), "vec_id")
     q = (
-        e.filter(F.col("vec_id") % query_mod == 0)
+        qbase
         .select(F.col("vec_id").alias("query_id"),
                 F.col("embedding").alias("qe"),
                 F.explode(probes).alias("bucket"))
@@ -347,11 +368,7 @@ def ivf_assignments(emb: DataFrame, n_centroids: int = N_CENTROIDS,
     from pyspark.sql import Window
 
     if cents is None:
-        cents = (
-            emb.orderBy("vec_id").limit(n_centroids)
-            .select(F.col("vec_id").alias("cell_id"),
-                    F.col("embedding").alias("cent"))
-        )
+        cents = _default_cents(emb, n_centroids)
     csim = F.round(
         _dot(F.col("embedding"), F.col("cent"))
         / (_norm(F.col("embedding")) * _norm(F.col("cent"))), 9
@@ -397,11 +414,7 @@ def ivf_assignments_two_level(emb: DataFrame,
     from pyspark.sql import Window
 
     if cents is None:
-        cents = (
-            emb.orderBy("vec_id").limit(n_centroids)
-            .select(F.col("vec_id").alias("cell_id"),
-                    F.col("embedding").alias("cent"))
-        )
+        cents = _default_cents(emb, n_centroids)
     if n_groups is None:
         n_groups = max(1, math.isqrt(n_centroids))
     leaders = (
@@ -450,10 +463,21 @@ def ivf_assignments_two_level(emb: DataFrame,
     return scored.withColumn("crank", F.row_number().over(w))
 
 
+def _default_cents(emb: DataFrame, n_centroids: int) -> DataFrame:
+    """The deterministic lowest-vec_id quantizer stand-in (oracle-exact);
+    swap for ``ivf_kmeans_centroids`` in production."""
+    return (
+        emb.orderBy("vec_id").limit(n_centroids)
+        .select(F.col("vec_id").alias("cell_id"),
+                F.col("embedding").alias("cent"))
+    )
+
+
 def ivf_topk(emb: DataFrame, k: int = 10, query_mod: int = 25,
              n_centroids: int = N_CENTROIDS, n_probe: int = N_PROBE,
              cents: DataFrame | None = None,
-             two_level: bool = False, probe_groups: int = 2) -> DataFrame:
+             two_level: bool = False, probe_groups: int = 2,
+             queries: DataFrame | None = None) -> DataFrame:
     """IVF top-k ANN: coarse cells -> inverted lists -> n_probe cell scan.
 
     The IVF scale path next to ``lsh_search``: each vector lands in its
@@ -467,9 +491,18 @@ def ivf_topk(emb: DataFrame, k: int = 10, query_mod: int = 25,
     ``two_level=True`` swaps the O(n*k) flat coarse assignment for the
     O(n*sqrt(k)) hierarchical one (``ivf_assignments_two_level``) — the
     build-pass default once n_centroids is corpus-scale.
+
+    ``queries`` is the production query cohort: an explicit
+    (vec_id, embedding) DataFrame, cell-assigned by FLAT scoring against
+    the same centroid table (the query side is bounded, so flat assign
+    is the right cost there even when the corpus build pass is
+    two-level).  The ``vec_id % query_mod`` default is the driver-oracle
+    fixture cohort.
     """
     from pyspark.sql import Window
 
+    if cents is None:
+        cents = _default_cents(emb, n_centroids)
     if two_level:
         asg = ivf_assignments_two_level(emb, n_centroids, cents=cents,
                                         probe_groups=probe_groups)
@@ -484,16 +517,28 @@ def ivf_topk(emb: DataFrame, k: int = 10, query_mod: int = 25,
             "neighbor_id",
         )
     )
-    probes = (
-        asg.filter((F.col("vec_id") % query_mod == 0) & (F.col("crank") <= n_probe))
-        .select(F.col("vec_id").alias("query_id"), "cell_id")
-        .join(
-            emb.filter(F.col("vec_id") % query_mod == 0)
-            .select(F.col("vec_id").alias("query_id"),
-                    F.col("embedding").alias("qe")),
-            "query_id",
+    if queries is None:
+        probes = (
+            asg.filter((F.col("vec_id") % query_mod == 0) & (F.col("crank") <= n_probe))
+            .select(F.col("vec_id").alias("query_id"), "cell_id")
+            .join(
+                emb.filter(F.col("vec_id") % query_mod == 0)
+                .select(F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("qe")),
+                "query_id",
+            )
         )
-    )
+    else:
+        qasg = ivf_assignments(queries, n_centroids, cents=cents)
+        probes = (
+            qasg.filter(F.col("crank") <= n_probe)
+            .select(F.col("vec_id").alias("query_id"), "cell_id")
+            .join(
+                queries.select(F.col("vec_id").alias("query_id"),
+                               F.col("embedding").alias("qe")),
+                "query_id",
+            )
+        )
     sim = F.round(
         _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))), 9
     )
@@ -601,7 +646,8 @@ def pq_codes(emb: DataFrame, books: DataFrame | None = None,
 
 def pq_topk(emb: DataFrame, k: int = 10, query_mod: int = 25,
             m: int = PQ_M, ksub: int = PQ_KSUB,
-            books: DataFrame | None = None) -> DataFrame:
+            books: DataFrame | None = None,
+            queries: DataFrame | None = None) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: (query_id, rank,
     neighbor_id, adist_e9) — approximate L2 neighbors scored WITHOUT
     touching candidate vectors, only their m small codes.
@@ -618,7 +664,10 @@ def pq_topk(emb: DataFrame, k: int = 10, query_mod: int = 25,
     per-query distance table is what gets broadcast, and the bare join
     key (sub_id, code) has only m*ksub distinct values, so a corpus-sized
     query set has no good plan here at all; corpus x corpus similarity
-    belongs to the near-dup/LSH family, not ADC).
+    belongs to the near-dup/LSH family, not ADC).  ``queries`` is the
+    production cohort — an explicit bounded (vec_id, embedding)
+    DataFrame; ``vec_id % query_mod`` is the driver-oracle fixture
+    default.
     """
     from pyspark.sql import Window
 
@@ -626,9 +675,10 @@ def pq_topk(emb: DataFrame, k: int = 10, query_mod: int = 25,
     if books is None:
         books = pq_codebooks(emb, m, ksub)
     codes = pq_codes(emb, books, m, ksub)
+    if queries is None:
+        queries = emb.filter(F.col("vec_id") % query_mod == 0)
     qsubs = _subvectors(
-        emb.filter(F.col("vec_id") % query_mod == 0)
-        .select(F.col("vec_id").alias("query_id"), "embedding"),
+        queries.select(F.col("vec_id").alias("query_id"), "embedding"),
         "embedding", m, d_sub, "subvec",
     )
     qdist = qsubs.join(F.broadcast(books), "sub_id").select(
@@ -651,9 +701,15 @@ def pq_topk(emb: DataFrame, k: int = 10, query_mod: int = 25,
     )
 
 
+TWO_LEVEL_AUTO_CENTROIDS = 1024  # n_centroids >= this -> hierarchical build
+
+
 def ivfpq_topk(emb: DataFrame, k: int = 10, query_mod: int = 25,
                n_centroids: int = N_CENTROIDS, n_probe: int = N_PROBE,
-               m: int = PQ_M, ksub: int = PQ_KSUB) -> DataFrame:
+               m: int = PQ_M, ksub: int = PQ_KSUB,
+               two_level: bool | None = None, probe_groups: int = 2,
+               cents: DataFrame | None = None,
+               queries: DataFrame | None = None) -> DataFrame:
     """IVF-PQ: the canonical corpus-scale ANN composition — coarse cells
     prune candidates (probe ``n_probe`` inverted lists), ADC over PQ
     codes scores them without ever touching candidate vectors.
@@ -661,31 +717,56 @@ def ivfpq_topk(emb: DataFrame, k: int = 10, query_mod: int = 25,
     Per query: |C| * n_probe / n_centroids candidates, each scored by m
     integer table lookups — the index the full pipeline would serve from
     at 10^12 vectors (lists partition-pruned by cell_id, codes 64x
-    smaller than raw floats).  Cell assignment reuses the cosine IVF
-    quantizer (``ivf_assignments``); within-cell scoring is squared-L2
-    ADC (``pq_codebooks``/``pq_codes``), both already oracle-pinned.
+    smaller than raw floats).  Within-cell scoring is squared-L2 ADC
+    (``pq_codebooks``/``pq_codes``), both already oracle-pinned.
     Recall baseline: ``cosine_topk``; uncompressed variant: ``ivf_topk``.
 
+    Coarse assignment: ``two_level=None`` (the default) picks the
+    build-pass strategy from n_centroids — flat O(n*k) scoring below
+    ``TWO_LEVEL_AUTO_CENTROIDS`` (where a k-row broadcast is cheap and
+    exact), the O(n*sqrt(k)) hierarchical ``ivf_assignments_two_level``
+    at or above it (the corpus-scale regime where flat assignment is the
+    build-pass killer: 10^6 cells x 10^12 vectors).  Pass True/False to
+    pin either path.
+
     The query distance table is broadcast (|Q|*m*ksub rows) — the
-    bounded-query contract of ``pq_topk`` applies; with a huge query
-    cohort drop the broadcast hint and the (query_id, sub_id, code) join
-    still parallelizes (query_id in the key), at shuffle cost.
+    bounded-query contract of ``pq_topk`` applies; ``queries`` is the
+    production cohort (explicit bounded (vec_id, embedding) DataFrame,
+    cell-assigned by flat scoring against the same centroids);
+    ``vec_id % query_mod`` is the driver-oracle fixture default.  With a
+    huge query cohort drop the broadcast hint and the
+    (query_id, sub_id, code) join still parallelizes (query_id in the
+    key), at shuffle cost.
     """
     from pyspark.sql import Window
 
-    asg = ivf_assignments(emb, n_centroids)
+    if two_level is None:
+        two_level = n_centroids >= TWO_LEVEL_AUTO_CENTROIDS
+    if cents is None:
+        cents = _default_cents(emb, n_centroids)
+    if two_level:
+        asg = ivf_assignments_two_level(emb, n_centroids, cents=cents,
+                                        probe_groups=probe_groups)
+    else:
+        asg = ivf_assignments(emb, n_centroids, cents=cents)
     books = pq_codebooks(emb, m, ksub)
     codes = pq_codes(emb, books, m, ksub)
     lists = asg.filter(F.col("crank") == 1).select(
         F.col("vec_id").alias("neighbor_id"), "cell_id"
     )
-    probes = asg.filter(
-        (F.col("vec_id") % query_mod == 0) & (F.col("crank") <= n_probe)
-    ).select(F.col("vec_id").alias("query_id"), "cell_id")
+    if queries is None:
+        probes = asg.filter(
+            (F.col("vec_id") % query_mod == 0) & (F.col("crank") <= n_probe)
+        ).select(F.col("vec_id").alias("query_id"), "cell_id")
+        queries = emb.filter(F.col("vec_id") % query_mod == 0)
+    else:
+        qasg = ivf_assignments(queries, n_centroids, cents=cents)
+        probes = qasg.filter(F.col("crank") <= n_probe).select(
+            F.col("vec_id").alias("query_id"), "cell_id"
+        )
     d_sub = DIM // m
     qsubs = _subvectors(
-        emb.filter(F.col("vec_id") % query_mod == 0)
-        .select(F.col("vec_id").alias("query_id"), "embedding"),
+        queries.select(F.col("vec_id").alias("query_id"), "embedding"),
         "embedding", m, d_sub, "subvec",
     )
     qdist = qsubs.join(F.broadcast(books), "sub_id").select(

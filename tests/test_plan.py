@@ -697,3 +697,63 @@ def test_strip_boilerplate_lines(spark):
            textstats.strip_boilerplate_lines(docs, hot=hot).collect()}
     assert got["d0"].n_lines_kept == 2 and "omega0" not in got["d0"].kept_text
     assert got["d1"].n_lines_kept == 3
+
+
+def test_ivfpq_two_level_wiring(spark):
+    """IVF-PQ must accept the hierarchical coarse assign (the build-pass
+    scale path) — two_level=None auto-picks it at corpus-scale
+    n_centroids — and stay ADC-exact: every (query, neighbor) pair both
+    paths score gets the identical integer ADC distance, and the
+    two-level top-k remains a usable approximation of the flat one at
+    the k=256 regime where flat assignment visibly dominates build cost
+    (see test_ivf_two_level_assignment's 3x+ scored-pair reduction)."""
+    from ocrspark.ops import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    flat = similarity.ivfpq_topk(emb, k=10, n_centroids=256,
+                                 two_level=False).collect()
+    two = similarity.ivfpq_topk(emb, k=10, n_centroids=256,
+                                two_level=True, probe_groups=4).collect()
+    fd = {(r.query_id, r.neighbor_id): r.adist_e9 for r in flat}
+    td = {(r.query_id, r.neighbor_id): r.adist_e9 for r in two}
+    shared = fd.keys() & td.keys()
+    assert len(shared) > 0
+    assert all(fd[p] == td[p] for p in shared)
+    overlap = len(shared) / len(fd)
+    assert overlap >= 0.3, f"two-level IVF-PQ overlap collapsed: {overlap:.3f}"
+    ranks = {}
+    for r in two:
+        ranks.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values())
+    # the auto rule: centroid counts at/above the threshold go hierarchical
+    assert similarity.TWO_LEVEL_AUTO_CENTROIDS > 16  # oracle default stays flat
+
+
+def test_ann_explicit_query_cohort(spark):
+    """Every ANN entry point must take an explicit bounded `queries`
+    DataFrame (the production cohort) instead of only the fixture's
+    vec_id % query_mod coupling — and with the same cohort passed
+    explicitly, results are IDENTICAL to the default path."""
+    from ocrspark.ops import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    pairs = [
+        (similarity.lsh_search(emb), similarity.lsh_search(emb, queries=qs)),
+        (similarity.lsh_search_multiprobe(emb),
+         similarity.lsh_search_multiprobe(emb, queries=qs)),
+        (similarity.ivf_topk(emb), similarity.ivf_topk(emb, queries=qs)),
+        (similarity.pq_topk(emb), similarity.pq_topk(emb, queries=qs)),
+        (similarity.ivfpq_topk(emb), similarity.ivfpq_topk(emb, queries=qs)),
+    ]
+    for default_df, explicit_df in pairs:
+        assert rows(default_df) == rows(explicit_df)
+    # a different cohort actually changes the query set served
+    qs2 = emb.filter(F.col("vec_id") % 25 == 7)
+    out = similarity.ivf_topk(emb, queries=qs2).collect()
+    assert len(out) > 0
+    assert {r.query_id for r in out} <= {r.vec_id for r in qs2.collect()}
