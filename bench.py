@@ -149,6 +149,13 @@ def main() -> None:
     # one-run-per-query ordering artifacts (round-2's extract-vs-arrow
     # inversion) are medianed away instead of explained away.
     ROUNDS = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
+    # untimed warmup for the operator-suite queries (the extract family
+    # warms above on the 20% slice): their first run otherwise carries
+    # plan construction + codegen JIT, which is most of the 50-73%
+    # round-4 spreads on sub-5s rows and is zero on a long-lived cluster
+    for name, fn in queries.items():
+        if not name.startswith("extract"):
+            fn()
     runs: dict[str, list[float]] = {name: [] for name in queries}
     for _ in range(ROUNDS):
         for name, fn in queries.items():
@@ -160,9 +167,27 @@ def main() -> None:
         s = sorted(xs)
         return s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
 
-    timings = {name: round(median(xs), 3) for name, xs in runs.items()}
+    # sub-FAST_SEC queries get extra interleaved passes and TRIMMED stats
+    # (drop the single max and min of the 5 runs): host-noise swings of
+    # 50-73% on sub-second queries carry no round-over-round signal and
+    # previously made their deltas unreadable.  Raw runs stay in
+    # queries_runs — nothing is hidden, the headline row is just robust.
+    FAST_SEC = 5.0
+    EXTRA_FAST = int(os.environ.get("SPARK_GRAFT_FAST_ROUNDS", "2"))
+    fast = sorted(n for n, xs in runs.items() if median(xs) < FAST_SEC)
+    for _ in range(EXTRA_FAST):
+        for name in fast:
+            t0 = time.time()
+            queries[name]()
+            runs[name].append(round(time.time() - t0, 3))
+
+    def trimmed(xs):
+        return sorted(xs)[1:-1] if len(xs) >= 5 else xs
+
+    timings = {name: round(median(trimmed(xs)), 3) for name, xs in runs.items()}
     spread = {
-        name: round(100.0 * (max(xs) - min(xs)) / max(median(xs), 1e-9), 1)
+        name: round(100.0 * (max(trimmed(xs)) - min(trimmed(xs)))
+                    / max(median(trimmed(xs)), 1e-9), 1)
         for name, xs in runs.items()
     }
 
@@ -174,6 +199,10 @@ def main() -> None:
         "queries": timings,
         "queries_runs": runs,
         "queries_spread_pct": spread,
+        "fast_queries_trimmed": fast,
+        "trim_policy": f"queries with median<{FAST_SEC:g}s run "
+                       f"{ROUNDS + EXTRA_FAST} interleaved passes; stats "
+                       "drop their single max+min run",
         "rounds": ROUNDS,
         "sf": sf,
         "n_docs": n_docs,
