@@ -122,6 +122,12 @@ def main() -> None:
         # round-4 additions
         queries["dedup_substring"] = lambda: dedup.substring_dup_spans(
             tbl("documents")).count()
+        # round-5 additions
+        queries["dedup_substring_keep"] = lambda: dedup.substring_dedup_keep(
+            tbl("documents")).agg(F.sum("n_tokens_dropped")).collect()
+        queries["text_strip_boilerplate"] = lambda: (
+            textstats.strip_boilerplate_lines(tbl("documents"))
+            .agg(F.sum("n_lines_kept")).collect())
         queries["ann_pq_topk"] = lambda: similarity.pq_topk(
             tbl("embeddings")).count()
         queries["ann_ivfpq_topk"] = lambda: similarity.ivfpq_topk(

@@ -507,7 +507,10 @@ def test_real_decode_with_codec(spark):
         return buf.getvalue()
 
     rows = [("media/a.png", png(32, 16, (255, 255, 255))),
-            ("media/b.png", png(8, 8, (0, 0, 0)))]
+            ("media/b.png", png(8, 8, (0, 0, 0))),
+            # corrupt payload: must degrade to a null-feature row, not
+            # fail the Arrow batch (fail-soft decode contract)
+            ("media/corrupt.png", b"\x89PNG not really a png")]
     df = spark.createDataFrame(rows, "media_ref string, payload binary")
     got = {r.media_ref: r for r in
            media.extract_media_features(df, decoder=media.real_decode).collect()}
@@ -517,6 +520,9 @@ def test_real_decode_with_codec(spark):
     assert a.n_bytes == len(rows[0][1]) and b.n_bytes == len(rows[1][1])
     # all-white mass lands in the top histogram bin, all-black in the bottom
     assert abs(a.feature[7] - 1.0) < 1e-6
+    c = got["media/corrupt.png"]
+    assert c.width is None and c.height is None and c.feature is None
+    assert c.n_bytes == len(rows[2][1])
     assert abs(b.feature[0] - 1.0) < 1e-6
 
 
