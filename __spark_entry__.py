@@ -490,6 +490,23 @@ def _q_curate_corpus(spark, sf_dir):
     )
 
 
+def _q_curate_clean(spark, sf_dir):
+    """Text-cleaning composite: boilerplate line strip -> exact-substring
+    keep-first dedup over the STRIPPED corpus, as one plan (both stages
+    individually oracled; this pins their composition)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    stripped = textstats.strip_boilerplate_lines(docs)
+    cleaned = dedup.substring_dedup_keep(
+        stripped.select("doc_id", F.col("kept_text").alias("text"))
+    )
+    return (
+        stripped.select("doc_id", "n_lines", "n_lines_kept")
+        .join(cleaned, "doc_id")
+        .select("doc_id", "n_lines", "n_lines_kept", "n_tokens",
+                "n_spans_dropped", "n_tokens_dropped", "kept_text")
+    )
+
+
 def _q_sessionize_events(spark, sf_dir):
     # parquet ts arrives as TIMESTAMP_NTZ; gaps are shift-invariant so the
     # LTZ cast (session-tz interpretation) cannot change session boundaries
@@ -659,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 5 — never driver-checked
         "dedup_substring_keep": _q_substring_keep,
         "text_strip_boilerplate": _q_strip_boilerplate,
+        "curate_clean_corpus": _q_curate_clean,
         # new in round 4 — never driver-checked (r4 overflow)
         "dedup_semantic": _q_semantic_dedup,
         "s7_catalog_json": _q_catalog_json,
@@ -683,7 +701,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_alias_resolution": _q_alias,
         "j6_expected_alignment": _q_expected,
         "dedup_exact_groups": _q_dedup_exact,
-        "dedup_minhash_signatures": _q_minhash_sigs,
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "text_tfidf_topterms": _q_tfidf_topterms,
@@ -716,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # additionally exercised by pytest; several are thin twins of
         # in-window entries (arrow twins, star twin, multiprobe variant).
         "pipeline_extract_tasks_arrow": _q_tasks_arrow,
+        "dedup_minhash_signatures": _q_minhash_sigs,
         "g7_merge_arrow": _q_g7_arrow,
         "dedup_components_star": _q_dedup_components_star,
         "ann_lsh_search_multiprobe": _q_lsh_search_multiprobe,
@@ -1116,15 +1134,18 @@ WHERE e.split <> 'train' AND t.split = 'train'
 GROUP BY 1, 2"""
 
 
-def _sql_substring_runs_ctes(n: int = 8, max_df: int = 64) -> str:
+def _sql_substring_runs_ctes(n: int = 8, max_df: int = 64,
+                             rel: str = "documents") -> str:
     """Shared CTE chain ending in ``runs`` — twin of dedup._substring_runs
     (diagonal gap-and-island runs, verbatim-verified collisions: the join
     is on the 48-bit hash but candidate rows must also match on the
-    actual gram strings, mirroring the Spark op)."""
+    actual gram strings, mirroring the Spark op).  ``rel`` is the source
+    relation carrying (doc_id, text) — parameterized so composites can
+    run the chain over an upstream CTE's output."""
     gram = " || ' ' || ".join(f"ws[i+{j}]" for j in range(1, n + 1))
     return f"""w AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
-  FROM documents
+  FROM {rel}
 ),
 gl AS (
   SELECT doc_id,
@@ -1174,15 +1195,13 @@ FROM runs WHERE run_tokens >= {min_run}
 GROUP BY 1, 2"""
 
 
-def _sql_substring_keep(n: int = 8, max_df: int = 64,
-                        min_run: int = 8) -> str:
-    """Twin of dedup.substring_dedup_keep: drop the higher doc's word
-    range for every >=min_run shared span (keep-first), merge
-    overlapping/adjacent drop intervals per doc, rebuild kept_text from
-    the surviving canonical tokens (token rebuild via unnest+string_agg —
-    set-equivalent to Spark's array-level filter)."""
-    return f"""
-WITH {_sql_substring_runs_ctes(n, max_df)},
+def _substring_keep_ctes(n: int = 8, max_df: int = 64,
+                         min_run: int = 8, rel: str = "documents") -> str:
+    """CTE chain for the cleaned-corpus twin, ending in ``per_doc``
+    (drop-interval stats) and ``kept`` (rebuilt text) — the caller writes
+    the final SELECT (standalone below; joined with upstream stats in
+    the curate_clean composite)."""
+    return f"""{_sql_substring_runs_ctes(n, max_df, rel)},
 drops AS (
   SELECT doc2 AS doc_id, min_i - diag AS s, max_i - diag + {n} - 1 AS e
   FROM runs WHERE run_tokens >= {min_run}
@@ -1225,7 +1244,18 @@ kept AS (
     ON t.doc_id = m.doc_id AND t.i BETWEEN m.s AND m.e
   WHERE m.doc_id IS NULL
   GROUP BY 1
-)
+)"""
+
+
+def _sql_substring_keep(n: int = 8, max_df: int = 64,
+                        min_run: int = 8) -> str:
+    """Twin of dedup.substring_dedup_keep: drop the higher doc's word
+    range for every >=min_run shared span (keep-first), merge
+    overlapping/adjacent drop intervals per doc, rebuild kept_text from
+    the surviving canonical tokens (token rebuild via unnest+string_agg —
+    set-equivalent to Spark's array-level filter)."""
+    return f"""
+WITH {_substring_keep_ctes(n, max_df, min_run)}
 SELECT w.doc_id,
        CAST(len(w.ws) AS BIGINT) AS n_tokens,
        CAST(coalesce(p.n_spans_dropped, 0) AS BIGINT) AS n_spans_dropped,
@@ -1235,16 +1265,18 @@ FROM w LEFT JOIN per_doc p USING (doc_id)
 LEFT JOIN kept k ON k.doc_id = w.doc_id"""
 
 
-def _sql_strip_boilerplate(n: int = 3, k: int = 50) -> str:
-    """Twin of textstats.strip_boilerplate_lines: top-k hot n-grams
-    (n_occurrences DESC, gram ASC — same ranking as _sql_top_ngrams)
-    mined, then every line whose padded canonical word sequence contains
-    a hot gram is dropped; kept lines reassemble in order."""
+def _strip_parts(n: int = 3, k: int = 50,
+                 rel: str = "documents") -> tuple[str, str]:
+    """(cte_chain, final_select) for the boilerplate-strip twin: top-k
+    hot n-grams (n_occurrences DESC, gram ASC — same ranking as
+    _sql_top_ngrams) mined from ``rel``, then every line whose padded
+    canonical word sequence contains a hot gram is dropped; kept lines
+    reassemble in order.  Structural pieces so composites can chain the
+    stripped corpus into downstream CTEs."""
     gram = " || ' ' || ".join(f"ws[i+{j}]" for j in range(1, n + 1))
-    return f"""
-WITH tw AS (
+    ctes = f"""tw AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
-  FROM documents
+  FROM {rel}
 ),
 tg AS (
   SELECT doc_id, unnest(
@@ -1259,7 +1291,7 @@ hot AS (
   QUALIFY row_number() OVER (ORDER BY n_occ DESC, gram ASC) <= {k}
 ),
 l AS (
-  SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents
+  SELECT doc_id, string_split(text, chr(10)) AS lines FROM {rel}
 ),
 ln AS (
   SELECT doc_id, u.i AS i, l.lines[u.i] AS line
@@ -1276,12 +1308,45 @@ m AS (
   SELECT nl.doc_id, nl.i, nl.line, count(h.gram) AS hits
   FROM nl LEFT JOIN hot h ON contains(nl.nrm, ' ' || h.gram || ' ')
   GROUP BY 1, 2, 3
-)
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+)"""
+    final = """SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
        CAST(count(*) FILTER (WHERE hits = 0) AS BIGINT) AS n_lines_kept,
        coalesce(string_agg(line, chr(10) ORDER BY i)
                 FILTER (WHERE hits = 0), '') AS kept_text
 FROM m GROUP BY 1"""
+    return ctes, final
+
+
+def _sql_strip_boilerplate(n: int = 3, k: int = 50) -> str:
+    """Twin of textstats.strip_boilerplate_lines (see _strip_parts)."""
+    ctes, final = _strip_parts(n, k)
+    return f"\nWITH {ctes}\n{final}"
+
+
+def _sql_curate_clean(n_gram: int = 3, k_hot: int = 50, n: int = 8,
+                      max_df: int = 64, min_run: int = 8) -> str:
+    """Twin of the curate_clean composite: boilerplate line strip, then
+    exact-substring keep-first dedup over the STRIPPED corpus — the
+    text-cleaning half of a curation pipeline as one statement."""
+    sctes, sfinal = _strip_parts(n_gram, k_hot)
+    keep_ctes = _substring_keep_ctes(
+        n, max_df, min_run, rel="(SELECT doc_id, kept_text AS text FROM stripped)"
+    )
+    return f"""
+WITH {sctes},
+stripped AS (
+  {sfinal}
+),
+{keep_ctes}
+SELECT st.doc_id, st.n_lines, st.n_lines_kept,
+       CAST(len(w.ws) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_spans_dropped, 0) AS BIGINT) AS n_spans_dropped,
+       CAST(coalesce(p.n_tokens_dropped, 0) AS BIGINT) AS n_tokens_dropped,
+       coalesce(kp.kept_text, '') AS kept_text
+FROM stripped st
+JOIN w ON w.doc_id = st.doc_id
+LEFT JOIN per_doc p ON p.doc_id = st.doc_id
+LEFT JOIN kept kp ON kp.doc_id = st.doc_id"""
 
 
 def _sql_top_ngrams(n: int = 3, k: int = 50) -> str:
@@ -2000,6 +2065,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_split": _sql_curate_split(),
         "curate_pack_shards": _sql_curate_pack(),
         "curate_corpus": _sql_curate_corpus(),
+        "curate_clean_corpus": _sql_curate_clean(),
         "curate_decontaminate": _sql_decontaminate(),
         "p16_code_detect": (
             f"SELECT doc_id, len(regexp_extract_all(text, '{textstats.CODE_TOKENS_RE}')) AS code_hits, "
