@@ -763,3 +763,26 @@ def test_ann_explicit_query_cohort(spark):
     out = similarity.ivf_topk(emb, queries=qs2).collect()
     assert len(out) > 0
     assert {r.query_id for r in out} <= {r.vec_id for r in qs2.collect()}
+
+
+def test_round5_ops_plan_shapes(spark):
+    """Plan contracts for the round-5 cleaning ops: substring keep stays
+    a capped equi-join chain (partial-agg cap, no cartesian); the
+    boilerplate strip's only corpus-side join is the bounded 1-row
+    strip-list broadcast (array fold), with no corpus-keyed join at
+    all."""
+    from ocrspark.ops import dedup, textstats
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"words number {i} shared filler tokens for shingles "
+                   f"{i % 7} more content lines here") for i in range(40)],
+        "doc_id string, text string",
+    )
+    p = _plan(dedup.substring_dedup_keep(docs))
+    assert "CartesianProduct" not in p, p
+    assert "partial_count" in p, p
+    p2 = _plan(textstats.strip_boilerplate_lines(docs))
+    assert "CartesianProduct" not in p2, p2
+    # the 1-row folded strip list is the ONLY nested-loop join (bounded
+    # by construction); the corpus side joins on no key whatsoever
+    assert p2.count("BroadcastNestedLoopJoin") <= 1, p2
