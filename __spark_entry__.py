@@ -365,6 +365,14 @@ def _q_substring_spans(spark, sf_dir):
     return dedup.substring_dup_spans(_tbl(spark, sf_dir, "documents"))
 
 
+def _q_substring_self(spark, sf_dir):
+    """Within-doc exact repeats (Lee et al. self half); n=3/min_run=3 on
+    the fixture corpus so the island chaining is exercised with nonzero
+    output (op defaults stay 8/8)."""
+    return dedup.substring_self_spans(
+        _tbl(spark, sf_dir, "documents"), n=3, min_run_tokens=3)
+
+
 def _q_substring_keep(spark, sf_dir):
     """Exact-substring dedup OUTPUT (Lee et al.): cleaned corpus with
     all-but-first occurrence of each >=8-token shared span dropped."""
@@ -675,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # new in round 5 — never driver-checked
         "dedup_substring_keep": _q_substring_keep,
+        "dedup_substring_self": _q_substring_self,
         "text_strip_boilerplate": _q_strip_boilerplate,
         "curate_clean_corpus": _q_curate_clean,
         # new in round 4 — never driver-checked (r4 overflow)
@@ -692,7 +701,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_extract_tasks": _q_tasks,
         "pipeline_extract_spans": _q_spans,
         "g2_g3_markers_sessionize": _q_markers,
-        "t2_t5_normalize_math": _q_normalize,
         "p12_strip_admin": _q_strip_admin,
         "s8_media_inventory": _q_media_inventory,
         "g7_merge_repair": _q_g7_repair,
@@ -733,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # additionally exercised by pytest; several are thin twins of
         # in-window entries (arrow twins, star twin, multiprobe variant).
         "pipeline_extract_tasks_arrow": _q_tasks_arrow,
+        "t2_t5_normalize_math": _q_normalize,
         "dedup_minhash_signatures": _q_minhash_sigs,
         "g7_merge_arrow": _q_g7_arrow,
         "dedup_components_star": _q_dedup_components_star,
@@ -1193,6 +1202,32 @@ WITH {_sql_substring_runs_ctes(n, max_df)}
 SELECT doc1, doc2, count(*) AS n_runs, max(run_tokens) AS max_run_tokens
 FROM runs WHERE run_tokens >= {min_run}
 GROUP BY 1, 2"""
+
+
+def _sql_substring_self(n: int = 3, max_df: int = 64,
+                        min_run: int = 3) -> str:
+    """Twin of dedup.substring_self_spans (within-doc repeats; the
+    cross-doc CTEs in the shared chain go unreferenced and unplanned)."""
+    return f"""
+WITH {_sql_substring_runs_ctes(n, max_df)},
+scoll AS (
+  SELECT a.doc_id, a.i AS i, b.i - a.i AS diag
+  FROM capped a JOIN capped b ON a.doc_id = b.doc_id AND a.h = b.h
+  WHERE a.i < b.i AND a.g = b.g
+),
+sisl AS (
+  SELECT doc_id, diag, i,
+         i - row_number() OVER (PARTITION BY doc_id, diag ORDER BY i)
+           AS grp
+  FROM scoll
+),
+sruns AS (
+  SELECT doc_id, diag, grp, count(*) + {n} - 1 AS run_tokens
+  FROM sisl GROUP BY 1, 2, 3
+)
+SELECT doc_id, count(*) AS n_self_runs, max(run_tokens) AS max_run_tokens
+FROM sruns WHERE run_tokens >= {min_run}
+GROUP BY 1"""
 
 
 def _substring_keep_ctes(n: int = 8, max_df: int = 64,
@@ -2060,6 +2095,7 @@ def oracle_sql() -> dict[str, str]:
         "text_ppl_proxy": _sql_ppl_proxy(),
         "dedup_substring_spans": _sql_substring_spans(),
         "dedup_substring_keep": _sql_substring_keep(),
+        "dedup_substring_self": _sql_substring_self(),
         "curate_stratified_sample": _sql_stratified_sample(),
         "curate_source_rollup": _sql_source_rollup(),
         "curate_split": _sql_curate_split(),

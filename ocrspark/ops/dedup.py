@@ -264,6 +264,29 @@ def _unpersist_tracked(spark_session, ids) -> None:
             r.unpersist(False)
 
 
+def _gram_occurrences(docs: DataFrame, text_col: str, n: int,
+                      max_df: int) -> DataFrame:
+    """Capped positional word n-gram occurrences: (doc_id, i, gram, h) —
+    the shared candidate source of the exact-substring family (cross-doc
+    pair runs AND within-doc self runs).  ``h`` is the 48-bit md5-prefix
+    join key; ``gram`` rides along (post-cap volume only) for the
+    verbatim verification downstream joins apply."""
+    words = _words(F.col(text_col))
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = docs.select(
+        "doc_id", F.posexplode(grams).alias("i", "gram")
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10).cast("long")
+    )
+    return cap_by_key(occ, ["h"], max_df)
+
+
 def _substring_runs(docs: DataFrame, text_col: str, n: int,
                     max_df: int) -> DataFrame:
     """Maximal verbatim shared word runs between document pairs:
@@ -294,20 +317,7 @@ def _substring_runs(docs: DataFrame, text_col: str, n: int,
     """
     from pyspark.sql import Window
 
-    words = _words(F.col(text_col))
-    grams = F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    occ = docs.select(
-        "doc_id", F.posexplode(grams).alias("i", "gram")
-    ).withColumn(
-        "h", F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10).cast("long")
-    )
-    occ = cap_by_key(occ, ["h"], max_df)
+    occ = _gram_occurrences(docs, text_col, n, max_df)
     a = occ.select(F.col("doc_id").alias("doc1"), F.col("i").alias("i"),
                    "h", "gram")
     b = occ.select(F.col("doc_id").alias("doc2"), F.col("i").alias("j"),
@@ -423,6 +433,54 @@ def substring_dedup_keep(docs: DataFrame, text_col: str = "text",
         F.coalesce("n_tokens_dropped", F.lit(0)).cast("long")
         .alias("n_tokens_dropped"),
         F.array_join(kept, " ").alias("kept_text"),
+    )
+
+
+def substring_self_spans(docs: DataFrame, text_col: str = "text",
+                         n: int = 8, max_df: int = MAX_DF,
+                         min_run_tokens: int = 8) -> DataFrame:
+    """Within-document exact repeats — the SELF half of Lee et al. 2021's
+    ExactSubstr (their suffix-array pass finds duplicated spans anywhere,
+    including inside one document: templated sections, copy-paste stutter,
+    tandem boilerplate): (doc_id, n_self_runs, max_run_tokens).
+
+    A repeat is a pair of positions i < j in ONE doc carrying the same
+    verbatim n-gram; consecutive collisions at the same offset d = j - i
+    chain into a run via the same gap-and-island trick as the cross-doc
+    op (a run of r grams = a span of r + n - 1 words repeated d words
+    later; tandem repeats with period < run length surface once per
+    offset, each verbatim-true).  Complements ``gopher_quality``'s
+    statistical 2-gram-mass signal with exact span evidence.
+
+    Scale shape: the self-join key is (doc_id, h) over the SAME capped
+    occurrence table as the pair ops (``_gram_occurrences``) — doc_id in
+    the key bounds every group by the document's own length regardless
+    of corpus-hot grams, and the island window partitions by (doc,
+    offset).  Verbatim-verified like the cross-doc runs.
+    """
+    from pyspark.sql import Window
+
+    occ = _gram_occurrences(docs, text_col, n, max_df)
+    a = occ.select("doc_id", F.col("i").alias("i"), "h", "gram")
+    b = occ.select("doc_id", F.col("i").alias("j"), "h",
+                   F.col("gram").alias("gram2"))
+    coll = (
+        a.join(b, ["doc_id", "h"])
+        .filter((F.col("i") < F.col("j"))
+                & (F.col("gram") == F.col("gram2")))
+        .select("doc_id", "i", (F.col("j") - F.col("i")).alias("diag"))
+    )
+    w = Window.partitionBy("doc_id", "diag").orderBy("i")
+    runs = (
+        coll.withColumn("grp", F.col("i") - F.row_number().over(w))
+        .groupBy("doc_id", "diag", "grp")
+        .agg((F.count(F.lit(1)) + n - 1).alias("run_tokens"))
+    )
+    return (
+        runs.filter(F.col("run_tokens") >= min_run_tokens)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_self_runs"),
+             F.max("run_tokens").alias("max_run_tokens"))
     )
 
 

@@ -786,3 +786,25 @@ def test_round5_ops_plan_shapes(spark):
     # the 1-row folded strip list is the ONLY nested-loop join (bounded
     # by construction); the corpus side joins on no key whatsoever
     assert p2.count("BroadcastNestedLoopJoin") <= 1, p2
+
+
+def test_substring_self_spans(spark):
+    """Within-doc repeats: one run per (offset) diagonal, verbatim-exact
+    span lengths; tandem repeats surface once per offset."""
+    from ocrspark.ops import dedup
+
+    rep = " ".join(f"s{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [("a", f"intro words here {rep} middle filler words {rep} outro"),
+         ("b", ("x " * 20).strip()),
+         ("c", "totally distinct words with no internal repetition here")],
+        "doc_id string, text string",
+    )
+    rows = {r.doc_id: r for r in dedup.substring_self_spans(docs).collect()}
+    assert rows["a"].n_self_runs == 1
+    assert rows["a"].max_run_tokens == 8
+    assert "c" not in rows
+    # 20 identical tokens: offsets 1..12 each chain one run; the offset-1
+    # run spans 19 tokens (20 - d)
+    assert rows["b"].n_self_runs == 12
+    assert rows["b"].max_run_tokens == 19
