@@ -87,6 +87,9 @@ def main() -> None:
     extract(warm).agg(*sink()).collect()
     extract(warm, arrow=True).agg(*sink()).collect()
 
+    # the default (round-comparable) suite; opt-in suites append below and
+    # are excluded from the untimed warmup (their multi-minute ops carry a
+    # negligible JIT share — warming them would just inflate wall time)
     queries = {
         "extract": lambda: extract(docs).agg(*sink()).collect(),
         "extract_sink_parquet": lambda: extract(docs)
@@ -99,6 +102,7 @@ def main() -> None:
         "text_stats": lambda: textstats.quality_score(tbl("documents"))
         .join(textstats.token_stats(tbl("documents")), "doc_id").count(),
     }
+    core_names = set(queries)
     if os.environ.get("SPARK_GRAFT_CURATION"):
         # opt-in second suite (default suite stays round-comparable): the
         # curation-path ops added in round 3
@@ -155,12 +159,13 @@ def main() -> None:
     # one-run-per-query ordering artifacts (round-2's extract-vs-arrow
     # inversion) are medianed away instead of explained away.
     ROUNDS = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
-    # untimed warmup for the operator-suite queries (the extract family
-    # warms above on the 20% slice): their first run otherwise carries
-    # plan construction + codegen JIT, which is most of the 50-73%
-    # round-4 spreads on sub-5s rows and is zero on a long-lived cluster
+    # untimed warmup for the DEFAULT operator-suite queries (the extract
+    # family warms above on the 20% slice; opt-in suites are excluded —
+    # see core_names): their first run otherwise carries plan
+    # construction + codegen JIT, which is most of the 50-73% round-4
+    # spreads on sub-5s rows and is zero on a long-lived cluster
     for name, fn in queries.items():
-        if not name.startswith("extract"):
+        if name in core_names and not name.startswith("extract"):
             fn()
     runs: dict[str, list[float]] = {name: [] for name in queries}
     for _ in range(ROUNDS):
@@ -205,10 +210,10 @@ def main() -> None:
         "queries": timings,
         "queries_runs": runs,
         "queries_spread_pct": spread,
-        "fast_queries_trimmed": fast,
+        "fast_queries_trimmed": [n for n in fast if len(runs[n]) >= 5],
         "trim_policy": f"queries with median<{FAST_SEC:g}s run "
                        f"{ROUNDS + EXTRA_FAST} interleaved passes; stats "
-                       "drop their single max+min run",
+                       "drop the single max+min run when >=5 runs exist",
         "rounds": ROUNDS,
         "sf": sf,
         "n_docs": n_docs,

@@ -287,6 +287,23 @@ def _gram_occurrences(docs: DataFrame, text_col: str, n: int,
     return cap_by_key(occ, ["h"], max_df)
 
 
+def _chain_runs(coll: DataFrame, keys: list[str], n: int) -> DataFrame:
+    """Gap-and-island run chaining shared by the cross-doc and self ops:
+    consecutive collision positions ``i`` within one ``keys`` group
+    (pair+diagonal, or doc+offset) become one run of count + n - 1
+    tokens, with min_i/max_i for span recovery."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy("i")
+    return (
+        coll.withColumn("grp", F.col("i") - F.row_number().over(w))
+        .groupBy(*keys, "grp")
+        .agg((F.count(F.lit(1)) + n - 1).alias("run_tokens"),
+             F.min("i").alias("min_i"), F.max("i").alias("max_i"))
+        .drop("grp")
+    )
+
+
 def _substring_runs(docs: DataFrame, text_col: str, n: int,
                     max_df: int) -> DataFrame:
     """Maximal verbatim shared word runs between document pairs:
@@ -315,8 +332,6 @@ def _substring_runs(docs: DataFrame, text_col: str, n: int,
     join it guards.  The island window partitions by (pair, diagonal) —
     a key that cannot be corpus-hot after the cap.
     """
-    from pyspark.sql import Window
-
     occ = _gram_occurrences(docs, text_col, n, max_df)
     a = occ.select(F.col("doc_id").alias("doc1"), F.col("i").alias("i"),
                    "h", "gram")
@@ -331,14 +346,7 @@ def _substring_runs(docs: DataFrame, text_col: str, n: int,
                 & (F.col("gram") == F.col("gram2")))
         .select("doc1", "doc2", "i", (F.col("i") - F.col("j")).alias("diag"))
     )
-    w = Window.partitionBy("doc1", "doc2", "diag").orderBy("i")
-    return (
-        coll.withColumn("grp", F.col("i") - F.row_number().over(w))
-        .groupBy("doc1", "doc2", "diag", "grp")
-        .agg((F.count(F.lit(1)) + n - 1).alias("run_tokens"),
-             F.min("i").alias("min_i"), F.max("i").alias("max_i"))
-        .drop("grp")
-    )
+    return _chain_runs(coll, ["doc1", "doc2", "diag"], n)
 
 
 def substring_dup_spans(docs: DataFrame, text_col: str = "text",
@@ -458,8 +466,6 @@ def substring_self_spans(docs: DataFrame, text_col: str = "text",
     of corpus-hot grams, and the island window partitions by (doc,
     offset).  Verbatim-verified like the cross-doc runs.
     """
-    from pyspark.sql import Window
-
     occ = _gram_occurrences(docs, text_col, n, max_df)
     a = occ.select("doc_id", F.col("i").alias("i"), "h", "gram")
     b = occ.select("doc_id", F.col("i").alias("j"), "h",
@@ -470,12 +476,7 @@ def substring_self_spans(docs: DataFrame, text_col: str = "text",
                 & (F.col("gram") == F.col("gram2")))
         .select("doc_id", "i", (F.col("j") - F.col("i")).alias("diag"))
     )
-    w = Window.partitionBy("doc_id", "diag").orderBy("i")
-    runs = (
-        coll.withColumn("grp", F.col("i") - F.row_number().over(w))
-        .groupBy("doc_id", "diag", "grp")
-        .agg((F.count(F.lit(1)) + n - 1).alias("run_tokens"))
-    )
+    runs = _chain_runs(coll, ["doc_id", "diag"], n)
     return (
         runs.filter(F.col("run_tokens") >= min_run_tokens)
         .groupBy("doc_id")
@@ -514,6 +515,7 @@ def components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         "lab", F.col("node")
     )
     prev_ids: set[int] = set()
+    new_ids: set[int] = set()
     changed = 1
     try:
         for _ in range(max_iter):
@@ -550,8 +552,11 @@ def components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             )
     except BaseException:
         # the error path must not leak executor storage: nothing we
-        # tracked is reachable by a caller once we raise (ADVICE r4)
-        _unpersist_tracked(spark, prev_ids | edge_ids)
+        # tracked is reachable by a caller once we raise (ADVICE r4).
+        # new_ids covers the window where the latest round is already
+        # checkpointed but the convergence count raised before
+        # `prev_ids = new_ids` ran.
+        _unpersist_tracked(spark, prev_ids | new_ids | edge_ids)
         raise
     # the result depends only on the FINAL labels checkpoint; the edge set
     # is loop-internal and can be freed now
@@ -615,11 +620,14 @@ def components_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         pairs.select(F.col("doc1").alias("u"), F.col("doc2").alias("v"))
         .filter(F.col("u") != F.col("v")).distinct()
     )
-    # nodes must be materialized NOW: it derives from the round-0 edge
-    # checkpoint, whose blocks are freed as soon as round 1 supersedes it
-    nodes, node_ids = _tracked_local_ckpt(_sym(e).select("u").distinct())
+    node_ids: set[int] = set()
+    new_ids: set[int] = set()
     stable = False
     try:
+        # nodes must be materialized NOW: it derives from the round-0 edge
+        # checkpoint, whose blocks are freed as soon as round 1 supersedes
+        # it (inside the try so a failure here frees the edge blocks too)
+        nodes, node_ids = _tracked_local_ckpt(_sym(e).select("u").distinct())
         for _ in range(max_iter):
             new_e, new_ids = _tracked_local_ckpt(_small_star(_large_star(e)))
             norm_old = e.select(F.greatest("u", "v").alias("u"),
@@ -640,8 +648,9 @@ def components_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
                 "rounds (expected O(log^2 n)); raise max_iter"
             )
     except BaseException:
-        # same fail-path storage contract as ``components`` (ADVICE r4)
-        _unpersist_tracked(spark, prev_ids | node_ids)
+        # same fail-path storage contract as ``components`` (ADVICE r4);
+        # new_ids covers the checkpointed-but-not-yet-promoted round
+        _unpersist_tracked(spark, prev_ids | new_ids | node_ids)
         raise
     # at the fixpoint e is a union of stars: (child, root) with root =
     # component min; roots themselves carry no outgoing edge

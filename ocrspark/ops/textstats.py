@@ -265,10 +265,18 @@ def strip_boilerplate_lines(docs: DataFrame, text_col: str = "text",
     base = docs.select(
         "doc_id", F.split(F.col(text_col), "\n").alias("lines")
     ).crossJoin(F.broadcast(hot1))
+    # normalize each line ONCE (Catalyst does not hoist loop-invariant
+    # subexpressions out of HOF lambdas — inlining the regex tokenization
+    # inside the exists() probe would re-run it k times per line), then
+    # probe the k grams against the precomputed padded string
     kept = F.expr(
-        "filter(lines, x -> NOT exists(hot_grams, g -> contains("
-        "concat(' ', array_join(regexp_extract_all(lower(x), "
-        "'[a-z0-9]+', 0), ' '), ' '), concat(' ', g, ' '))))"
+        "transform(filter("
+        "  transform(lines, x -> struct(x AS line,"
+        "    concat(' ', array_join(regexp_extract_all(lower(x),"
+        "    '[a-z0-9]+', 0), ' '), ' ') AS nrm)),"
+        "  s -> NOT exists(hot_grams, g -> contains(s.nrm,"
+        "    concat(' ', g, ' ')))"
+        "), s -> s.line)"
     )
     return base.select(
         "doc_id",
