@@ -132,6 +132,8 @@ def main() -> None:
         queries["text_strip_boilerplate"] = lambda: (
             textstats.strip_boilerplate_lines(tbl("documents"))
             .agg(F.sum("n_lines_kept")).collect())
+        queries["dedup_substring_self"] = lambda: dedup.substring_self_spans(
+            tbl("documents"), n=3, min_run_tokens=3).count()
         queries["ann_pq_topk"] = lambda: similarity.pq_topk(
             tbl("embeddings")).count()
         queries["ann_ivfpq_topk"] = lambda: similarity.ivfpq_topk(
