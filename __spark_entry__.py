@@ -379,6 +379,15 @@ def _q_substring_keep(spark, sf_dir):
     return dedup.substring_dedup_keep(_tbl(spark, sf_dir, "documents"))
 
 
+def _q_substring_keep_self(spark, sf_dir):
+    """Full ExactSubstr cleaning: cross-doc keep-first AND within-doc
+    later-copy drops in one pass (n=3/min_run=3 so both halves fire on
+    the fixture corpus; op defaults stay 8/8 cross-only)."""
+    return dedup.substring_dedup_keep(
+        _tbl(spark, sf_dir, "documents"), n=3, min_run_tokens=3,
+        include_self=True)
+
+
 def _q_top_ngrams(spark, sf_dir):
     """Corpus-wide top 3-grams (boilerplate mining for strip lists)."""
     return textstats.top_ngrams(_tbl(spark, sf_dir, "documents"))
@@ -684,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 5 — never driver-checked
         "dedup_substring_keep": _q_substring_keep,
         "dedup_substring_self": _q_substring_self,
+        "dedup_substring_keep_self": _q_substring_keep_self,
         "text_strip_boilerplate": _q_strip_boilerplate,
         "curate_clean_corpus": _q_curate_clean,
         # new in round 4 — never driver-checked (r4 overflow)
@@ -701,7 +711,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_extract_tasks": _q_tasks,
         "pipeline_extract_spans": _q_spans,
         "g2_g3_markers_sessionize": _q_markers,
-        "p12_strip_admin": _q_strip_admin,
         "s8_media_inventory": _q_media_inventory,
         "g7_merge_repair": _q_g7_repair,
         "p11_topic_assign": _q_topic,
@@ -742,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window entries (arrow twins, star twin, multiprobe variant).
         "pipeline_extract_tasks_arrow": _q_tasks_arrow,
         "t2_t5_normalize_math": _q_normalize,
+        "p12_strip_admin": _q_strip_admin,
         "dedup_minhash_signatures": _q_minhash_sigs,
         "g7_merge_arrow": _q_g7_arrow,
         "dedup_components_star": _q_dedup_components_star,
@@ -1204,13 +1214,10 @@ FROM runs WHERE run_tokens >= {min_run}
 GROUP BY 1, 2"""
 
 
-def _sql_substring_self(n: int = 3, max_df: int = 64,
-                        min_run: int = 3) -> str:
-    """Twin of dedup.substring_self_spans (within-doc repeats; the
-    cross-doc CTEs in the shared chain go unreferenced and unplanned)."""
-    return f"""
-WITH {_sql_substring_runs_ctes(n, max_df)},
-scoll AS (
+def _sql_self_ctes(n: int) -> str:
+    """Within-doc repeat CTE chain (builds on ``capped`` from the shared
+    runs chain), ending in ``sruns``."""
+    return f"""scoll AS (
   SELECT a.doc_id, a.i AS i, b.i - a.i AS diag
   FROM capped a JOIN capped b ON a.doc_id = b.doc_id AND a.h = b.h
   WHERE a.i < b.i AND a.g = b.g
@@ -1222,24 +1229,46 @@ sisl AS (
   FROM scoll
 ),
 sruns AS (
-  SELECT doc_id, diag, grp, count(*) + {n} - 1 AS run_tokens
+  SELECT doc_id, diag, grp, count(*) + {n} - 1 AS run_tokens,
+         min(i) AS min_i, max(i) AS max_i
   FROM sisl GROUP BY 1, 2, 3
-)
+)"""
+
+
+def _sql_substring_self(n: int = 3, max_df: int = 64,
+                        min_run: int = 3) -> str:
+    """Twin of dedup.substring_self_spans (within-doc repeats; the
+    cross-doc CTEs in the shared chain go unreferenced and unplanned)."""
+    return f"""
+WITH {_sql_substring_runs_ctes(n, max_df)},
+{_sql_self_ctes(n)}
 SELECT doc_id, count(*) AS n_self_runs, max(run_tokens) AS max_run_tokens
 FROM sruns WHERE run_tokens >= {min_run}
 GROUP BY 1"""
 
 
 def _substring_keep_ctes(n: int = 8, max_df: int = 64,
-                         min_run: int = 8, rel: str = "documents") -> str:
+                         min_run: int = 8, rel: str = "documents",
+                         include_self: bool = False) -> str:
     """CTE chain for the cleaned-corpus twin, ending in ``per_doc``
     (drop-interval stats) and ``kept`` (rebuilt text) — the caller writes
     the final SELECT (standalone below; joined with upstream stats in
-    the curate_clean composite)."""
+    the curate_clean composite).  ``include_self`` unions the within-doc
+    later-copy drop ranges (twin of include_self=True)."""
+    self_ctes = f"{_sql_self_ctes(n)},\n" if include_self else ""
+    self_drops = (
+        f"""
+  UNION ALL
+  SELECT doc_id, min_i + diag AS s, max_i + diag + {n} - 1 AS e
+  FROM sruns WHERE run_tokens >= {min_run}""" if include_self else "")
     return f"""{_sql_substring_runs_ctes(n, max_df, rel)},
-drops AS (
-  SELECT doc2 AS doc_id, min_i - diag AS s, max_i - diag + {n} - 1 AS e
-  FROM runs WHERE run_tokens >= {min_run}
+{self_ctes}drops AS (
+  -- DISTINCT is load-bearing (twin of the Spark comment): duplicate
+  -- intervals break the total order the island windows need
+  SELECT DISTINCT doc_id, s, e FROM (
+    SELECT doc2 AS doc_id, min_i - diag AS s, max_i - diag + {n} - 1 AS e
+    FROM runs WHERE run_tokens >= {min_run}{self_drops}
+  )
 ),
 isl2 AS (
   SELECT doc_id, s, e,
@@ -1291,6 +1320,22 @@ def _sql_substring_keep(n: int = 8, max_df: int = 64,
     set-equivalent to Spark's array-level filter)."""
     return f"""
 WITH {_substring_keep_ctes(n, max_df, min_run)}
+SELECT w.doc_id,
+       CAST(len(w.ws) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_spans_dropped, 0) AS BIGINT) AS n_spans_dropped,
+       CAST(coalesce(p.n_tokens_dropped, 0) AS BIGINT) AS n_tokens_dropped,
+       coalesce(k.kept_text, '') AS kept_text
+FROM w LEFT JOIN per_doc p USING (doc_id)
+LEFT JOIN kept k ON k.doc_id = w.doc_id"""
+
+
+def _sql_substring_keep_self(n: int = 3, max_df: int = 64,
+                             min_run: int = 3) -> str:
+    """Twin of substring_dedup_keep(include_self=True): BOTH ExactSubstr
+    halves — cross-doc keep-first drops unioned with within-doc
+    later-copy drops — merged and removed in one pass."""
+    return f"""
+WITH {_substring_keep_ctes(n, max_df, min_run, include_self=True)}
 SELECT w.doc_id,
        CAST(len(w.ws) AS BIGINT) AS n_tokens,
        CAST(coalesce(p.n_spans_dropped, 0) AS BIGINT) AS n_spans_dropped,
@@ -2096,6 +2141,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring_spans": _sql_substring_spans(),
         "dedup_substring_keep": _sql_substring_keep(),
         "dedup_substring_self": _sql_substring_self(),
+        "dedup_substring_keep_self": _sql_substring_keep_self(),
         "curate_stratified_sample": _sql_stratified_sample(),
         "curate_source_rollup": _sql_source_rollup(),
         "curate_split": _sql_curate_split(),

@@ -370,7 +370,8 @@ def substring_dup_spans(docs: DataFrame, text_col: str = "text",
 
 def substring_dedup_keep(docs: DataFrame, text_col: str = "text",
                          n: int = 8, max_df: int = MAX_DF,
-                         min_run_tokens: int = 8) -> DataFrame:
+                         min_run_tokens: int = 8,
+                         include_self: bool = False) -> DataFrame:
     """Exact-substring dedup OUTPUT (Lee et al. 2021): the cleaned corpus
     — (doc_id, n_tokens, n_spans_dropped, n_tokens_dropped, kept_text).
 
@@ -381,9 +382,15 @@ def substring_dedup_keep(docs: DataFrame, text_col: str = "text",
     Overlapping/adjacent drop ranges within a doc are merged into maximal
     intervals before removal; ``kept_text`` is the doc's canonical word
     sequence (lowercased ``[a-z0-9]+`` tokens — the token domain the runs
-    are detected in) with dropped intervals removed.  Cross-doc only:
-    within-doc self-repeats are the repetition filters' job
-    (``textstats.gopher_quality``).
+    are detected in) with dropped intervals removed.
+
+    ``include_self=True`` additionally drops within-document repeats
+    (the self half of ExactSubstr, ``_self_runs``): for a span repeated
+    ``diag`` words later in the SAME doc, the later copy's word range is
+    dropped and the first occurrence survives — for tandem repeats
+    (period < span length) the merged intervals leave exactly the first
+    period.  With the default False, self-repeats are left to the
+    statistical repetition filters (``textstats.gopher_quality``).
 
     Scale shape: runs come from ``_substring_runs`` (capped verbatim
     positional join); interval merging is one window per (doc) — doc-keyed,
@@ -400,6 +407,25 @@ def substring_dedup_keep(docs: DataFrame, text_col: str = "text",
         (F.col("min_i") - F.col("diag")).alias("s"),
         (F.col("max_i") - F.col("diag") + n - 1).alias("e"),
     )
+    if include_self:
+        sdrops = (
+            _self_runs(docs, text_col, n, max_df)
+            .filter(F.col("run_tokens") >= min_run_tokens)
+            .select(
+                "doc_id",
+                (F.col("min_i") + F.col("diag")).alias("s"),
+                (F.col("max_i") + F.col("diag") + n - 1).alias("e"),
+            )
+        )
+        drops = drops.unionByName(sdrops)
+    # DISTINCT is load-bearing, not an optimization: duplicate (s, e)
+    # intervals (the same range dropped via several pairs, or cross+self)
+    # make ORDER BY (s, e) a non-total order, and the island id then
+    # depends on which tied row carries new_island=1 in the second
+    # window pass — engine-arbitrary tie order would split an island
+    # nondeterministically (observed in the DuckDB twin).  Distinct
+    # intervals restore a total order per doc.
+    drops = drops.distinct()
     w = Window.partitionBy("doc_id").orderBy("s", "e")
     prev_max = F.max("e").over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -444,6 +470,26 @@ def substring_dedup_keep(docs: DataFrame, text_col: str = "text",
     )
 
 
+def _self_runs(docs: DataFrame, text_col: str, n: int,
+               max_df: int) -> DataFrame:
+    """Within-doc verbatim repeat runs: (doc_id, diag, run_tokens,
+    min_i, max_i) — diag = j - i > 0 is the repeat offset; min_i/max_i
+    are the EARLIER occurrence's gram positions (the later copy sits at
+    i + diag).  Shares ``_gram_occurrences`` + ``_chain_runs`` with the
+    cross-doc pair runs."""
+    occ = _gram_occurrences(docs, text_col, n, max_df)
+    a = occ.select("doc_id", F.col("i").alias("i"), "h", "gram")
+    b = occ.select("doc_id", F.col("i").alias("j"), "h",
+                   F.col("gram").alias("gram2"))
+    coll = (
+        a.join(b, ["doc_id", "h"])
+        .filter((F.col("i") < F.col("j"))
+                & (F.col("gram") == F.col("gram2")))
+        .select("doc_id", "i", (F.col("j") - F.col("i")).alias("diag"))
+    )
+    return _chain_runs(coll, ["doc_id", "diag"], n)
+
+
 def substring_self_spans(docs: DataFrame, text_col: str = "text",
                          n: int = 8, max_df: int = MAX_DF,
                          min_run_tokens: int = 8) -> DataFrame:
@@ -466,17 +512,7 @@ def substring_self_spans(docs: DataFrame, text_col: str = "text",
     of corpus-hot grams, and the island window partitions by (doc,
     offset).  Verbatim-verified like the cross-doc runs.
     """
-    occ = _gram_occurrences(docs, text_col, n, max_df)
-    a = occ.select("doc_id", F.col("i").alias("i"), "h", "gram")
-    b = occ.select("doc_id", F.col("i").alias("j"), "h",
-                   F.col("gram").alias("gram2"))
-    coll = (
-        a.join(b, ["doc_id", "h"])
-        .filter((F.col("i") < F.col("j"))
-                & (F.col("gram") == F.col("gram2")))
-        .select("doc_id", "i", (F.col("j") - F.col("i")).alias("diag"))
-    )
-    runs = _chain_runs(coll, ["doc_id", "diag"], n)
+    runs = _self_runs(docs, text_col, n, max_df)
     return (
         runs.filter(F.col("run_tokens") >= min_run_tokens)
         .groupBy("doc_id")

@@ -808,3 +808,36 @@ def test_substring_self_spans(spark):
     # run spans 19 tokens (20 - d)
     assert rows["b"].n_self_runs == 12
     assert rows["b"].max_run_tokens == 19
+
+
+def test_substring_keep_include_self(spark):
+    """Both ExactSubstr halves in one cleaning pass: cross-doc keep-first
+    drops AND within-doc later-copy drops; duplicate drop intervals (the
+    same span shared with several lower docs) must merge
+    deterministically (the distinct-before-islands contract)."""
+    from ocrspark.ops import dedup
+
+    shared = " ".join(f"d{i}" for i in range(10))
+    selfrep = " ".join(f"r{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [("a", f"one {shared} two"),
+         ("b", f"three {shared} four"),
+         # c gets the shared span via BOTH (a,c) and (b,c) -> duplicate
+         # drop interval — plus a self repeat
+         ("c", f"five {shared} six {selfrep} mid {selfrep} end")],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in
+           dedup.substring_dedup_keep(docs, include_self=True).collect()}
+    assert "d0" in out["a"].kept_text          # keep-first: a keeps it
+    assert "d0" not in out["b"].kept_text
+    assert "d0" not in out["c"].kept_text
+    # self repeat: first copy survives, later copy dropped
+    assert out["c"].kept_text.count("r0") == 1
+    assert out["c"].kept_text == ("five six " + selfrep + " mid end")
+    assert out["c"].n_spans_dropped == 2       # merged shared + self copy
+    assert out["c"].n_tokens_dropped == 18
+    # cross-only default leaves the self repeat alone
+    cross = {r.doc_id: r for r in
+             dedup.substring_dedup_keep(docs).collect()}
+    assert cross["c"].kept_text.count("r0") == 2
