@@ -134,6 +134,10 @@ def main() -> None:
             .agg(F.sum("n_lines_kept")).collect())
         queries["dedup_substring_self"] = lambda: dedup.substring_self_spans(
             tbl("documents"), n=3, min_run_tokens=3).count()
+        queries["dedup_substring_keep_self"] = lambda: (
+            dedup.substring_dedup_keep(tbl("documents"), n=3,
+                                       min_run_tokens=3, include_self=True)
+            .agg(F.sum("n_tokens_dropped")).collect())
         queries["ann_pq_topk"] = lambda: similarity.pq_topk(
             tbl("embeddings")).count()
         queries["ann_ivfpq_topk"] = lambda: similarity.ivfpq_topk(
