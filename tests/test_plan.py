@@ -841,3 +841,40 @@ def test_substring_keep_include_self(spark):
     cross = {r.doc_id: r for r in
              dedup.substring_dedup_keep(docs).collect()}
     assert cross["c"].kept_text.count("r0") == 2
+
+
+def test_pq_kmeans_codebooks(spark):
+    """The KMeans codebooks slot into the PQ family via books= with the
+    same contract as the deterministic stand-in, and trained codebooks
+    must not degrade ADC quality vs the stand-in (they should improve
+    it — real sub-centroids vs arbitrary first-ksub subvectors)."""
+    from ocrspark.ops import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = similarity.pq_kmeans_codebooks(emb)
+    assert books.count() == similarity.PQ_M * similarity.PQ_KSUB
+    codes = similarity.pq_codes(emb, books).collect()
+    n = emb.count()
+    assert len(codes) == n * similarity.PQ_M
+    assert all(0 <= r.code < similarity.PQ_KSUB for r in codes)
+
+    def sqd(a, b):
+        return sum((float(x) - float(y)) ** 2 for x, y in zip(a, b))
+
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+    qids = [v for v in vecs if v % 25 == 0]
+    exact = {}
+    for q in qids:
+        d = sorted((sqd(vecs[q], vecs[c]), c) for c in vecs if c != q)
+        exact[q] = {c for _, c in d[:10]}
+
+    def recall(books_df):
+        got = {}
+        for r in similarity.pq_topk(emb, k=10, books=books_df).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(got.get(q, set()) & exact[q]) for q in qids)
+        return hits / sum(len(exact[q]) for q in qids)
+
+    r_km, r_standin = recall(books), recall(None)
+    assert r_km >= r_standin - 0.05, (r_km, r_standin)
+    assert r_km >= 0.2, r_km
