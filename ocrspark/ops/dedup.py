@@ -368,37 +368,16 @@ def substring_dup_spans(docs: DataFrame, text_col: str = "text",
     )
 
 
-def substring_dedup_keep(docs: DataFrame, text_col: str = "text",
-                         n: int = 8, max_df: int = MAX_DF,
-                         min_run_tokens: int = 8,
-                         include_self: bool = False) -> DataFrame:
-    """Exact-substring dedup OUTPUT (Lee et al. 2021): the cleaned corpus
-    — (doc_id, n_tokens, n_spans_dropped, n_tokens_dropped, kept_text).
-
-    Keep-first policy: for every verbatim shared span of >=
-    ``min_run_tokens`` words between a pair, the occurrence in the LOWER
-    doc_id survives and the higher doc drops its span's word range (so a
-    span shared by k docs survives exactly once, in the smallest doc_id).
-    Overlapping/adjacent drop ranges within a doc are merged into maximal
-    intervals before removal; ``kept_text`` is the doc's canonical word
-    sequence (lowercased ``[a-z0-9]+`` tokens — the token domain the runs
-    are detected in) with dropped intervals removed.
-
-    ``include_self=True`` additionally drops within-document repeats
-    (the self half of ExactSubstr, ``_self_runs``): for a span repeated
-    ``diag`` words later in the SAME doc, the later copy's word range is
-    dropped and the first occurrence survives — for tandem repeats
-    (period < span length) the merged intervals leave exactly the first
-    period.  With the default False, self-repeats are left to the
-    statistical repetition filters (``textstats.gopher_quality``).
-
-    Scale shape: runs come from ``_substring_runs`` (capped verbatim
-    positional join); interval merging is one window per (doc) — doc-keyed,
-    never corpus-hot; span removal is an array-level ``filter`` against
-    the doc's own merged interval list (broadcast-free, no corpus-wide
-    token explode).  A planted-duplicate corpus re-reports ZERO spans
-    after this pass (tested).
-    """
+def _merged_drop_intervals(docs: DataFrame, text_col: str, n: int,
+                           max_df: int, min_run_tokens: int,
+                           include_self: bool) -> DataFrame:
+    """Per-doc merged drop intervals for the ExactSubstr keep ops:
+    (doc_id, n_spans_dropped, n_tokens_dropped, drops: array<struct<s,e>>)
+    — only docs with at least one drop appear.  Keep-first policy (the
+    higher doc_id of a pair drops its copy; ``include_self`` adds the
+    within-doc later-copy ranges); overlapping/adjacent word-index ranges
+    are merged into maximal intervals via the two-window gap-and-island
+    pass (see the load-bearing ``distinct()`` comment)."""
     from pyspark.sql import Window
 
     runs = _substring_runs(docs, text_col, n, max_df)
@@ -444,13 +423,76 @@ def substring_dedup_keep(docs: DataFrame, text_col: str = "text",
         .groupBy("doc_id", "island")
         .agg(F.min("s").alias("s"), F.max("e").alias("e"))
     )
-    per_doc = merged.groupBy("doc_id").agg(
+    return merged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans_dropped"),
         F.sum(F.col("e") - F.col("s") + 1).alias("n_tokens_dropped"),
         F.sort_array(
             F.collect_list(F.struct(F.col("s"), F.col("e")))
         ).alias("drops"),
     )
+
+
+def substring_dedup_keep(docs: DataFrame, text_col: str = "text",
+                         n: int = 8, max_df: int = MAX_DF,
+                         min_run_tokens: int = 8,
+                         include_self: bool = False,
+                         original_text: bool = False) -> DataFrame:
+    """Exact-substring dedup OUTPUT (Lee et al. 2021): the cleaned corpus
+    — (doc_id, n_tokens, n_spans_dropped, n_tokens_dropped, kept_text).
+
+    Keep-first policy: for every verbatim shared span of >=
+    ``min_run_tokens`` words between a pair, the occurrence in the LOWER
+    doc_id survives and the higher doc drops its span's word range (so a
+    span shared by k docs survives exactly once, in the smallest doc_id).
+    Overlapping/adjacent drop ranges within a doc are merged into maximal
+    intervals before removal.
+
+    ``kept_text`` domain: with the default ``original_text=False`` it is
+    the doc's canonical word sequence (lowercased ``[a-z0-9]+`` tokens —
+    the token domain the runs are detected in) with dropped intervals
+    removed.  With ``original_text=True`` it is the ORIGINAL text with
+    the dropped spans' character ranges removed — casing, punctuation,
+    whitespace, and line structure preserved verbatim outside drops (the
+    artifact Lee et al.'s tool emits: byte ranges cut from raw text).
+    The char range of word interval [s, e] runs from the first character
+    of token s to the last character of token e — separators strictly
+    inside the range go with it; boundary separators survive.  Token k
+    of the canonical stream is located as the k-th ``[a-zA-Z0-9]+`` match
+    of the original text (exact for ASCII, the corpus domain; exotic
+    Unicode case-mappings that lower() into ASCII alnum — e.g. U+212A —
+    could misalign the two streams and are out of contract).
+
+    ``include_self=True`` additionally drops within-document repeats
+    (the self half of ExactSubstr, ``_self_runs``): for a span repeated
+    ``diag`` words later in the SAME doc, the later copy's word range is
+    dropped and the first occurrence survives — for tandem repeats
+    (period < span length) the merged intervals leave exactly the first
+    period.  With the default False, self-repeats are left to the
+    statistical repetition filters (``textstats.gopher_quality``).
+
+    CAP EXEMPTION (by design): runs inherit ``max_df`` from
+    ``_gram_occurrences`` — a gram occurring at more than ``max_df``
+    positions corpus-wide never forms a run, so corpus-hot boilerplate
+    spans are deliberately NOT cleaned here (the capped positional join
+    is what makes the op scale).  Hot boilerplate is the job of
+    ``textstats.strip_boilerplate_lines``; ``curate_clean_corpus`` chains
+    the two in the right order (strip first, then ExactSubstr).  A
+    planted >max_df-hot span passing through unchanged is pinned by test.
+
+    Scale shape: runs come from ``_substring_runs`` (capped verbatim
+    positional join); interval merging is one window per (doc) — doc-keyed,
+    never corpus-hot.  Canonical-domain removal is an array-level
+    ``filter`` against the doc's own merged interval list (broadcast-free,
+    no corpus-wide token explode).  Original-text removal segments ONLY
+    the docs that have drops (token/separator alternation via one
+    regexp_extract_all), with a doc-keyed position window — untouched
+    docs pass through without being exploded.  A planted-duplicate corpus
+    re-reports ZERO spans after this pass (tested).
+    """
+    per_doc = _merged_drop_intervals(
+        docs, text_col, n, max_df, min_run_tokens, include_self)
+    if original_text:
+        return _remove_spans_original(docs, text_col, per_doc)
     base = docs.select("doc_id", _words(F.col(text_col)).alias("ws"))
     out = base.join(per_doc, "doc_id", "left")
     kept = F.when(
@@ -468,6 +510,91 @@ def substring_dedup_keep(docs: DataFrame, text_col: str = "text",
         .alias("n_tokens_dropped"),
         F.array_join(kept, " ").alias("kept_text"),
     )
+
+
+SEG_PATTERN = r"[a-zA-Z0-9]+|[^a-zA-Z0-9]+"
+
+
+def _remove_spans_original(docs: DataFrame, text_col: str,
+                           per_doc: DataFrame) -> DataFrame:
+    """Original-text-domain span removal for ``substring_dedup_keep``:
+    cut the character ranges of the merged word-index drop intervals out
+    of the raw text, byte-identical outside drops.
+
+    Construction: ``SEG_PATTERN`` partitions the text into an alternating
+    token/separator segment list whose concatenation IS the text (both
+    branches are maximal, so matches tile the string).  For each segment,
+    ``t`` = number of token segments strictly before it; a token segment
+    is token index ``t`` and drops iff an interval covers ``t``; a
+    separator sits between tokens ``t-1`` and ``t`` and drops iff ONE
+    interval covers both (merged intervals are maximal, so two adjacent
+    dropped tokens always share an interval) — the unified predicate is
+    ``d.s <= t - (1 - is_tok) AND t <= d.e``.  Leading separators
+    (``t = 0``) and trailing separators (``t = n_tokens``) can never
+    satisfy it, so text edges survive.
+
+    Scale shape: ONLY docs carrying drops are segmented/exploded (inner
+    join on ``per_doc``; typically a small fraction of the corpus) —
+    untouched docs pass through unexploded.  The running token count is
+    a window keyed by (doc_id) — per-doc, never corpus-hot, the same
+    bound as the interval merge itself.  Reassembly is one doc-keyed
+    collect_list of (position, segment), sorted in-array.
+    """
+    from pyspark.sql import Window
+
+    base = docs.select("doc_id", F.col(text_col).alias("_text"),
+                       _words(F.col(text_col)).alias("ws"))
+    joined = base.join(per_doc, "doc_id", "left")
+    untouched = joined.filter(F.col("drops").isNull()).select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("n_spans_dropped"),
+        F.lit(0).cast("long").alias("n_tokens_dropped"),
+        F.col("_text").alias("kept_text"),
+    )
+    touched = joined.filter(F.col("drops").isNotNull())
+    meta = touched.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tokens"),
+        F.col("n_spans_dropped").cast("long").alias("n_spans_dropped"),
+        F.col("n_tokens_dropped").cast("long").alias("n_tokens_dropped"),
+    )
+    seg = touched.select(
+        "doc_id", "drops",
+        F.posexplode(
+            F.regexp_extract_all(F.col("_text"), F.lit(SEG_PATTERN), 0)
+        ).alias("p", "seg"),
+    ).withColumn("is_tok", F.col("seg").rlike("^[a-zA-Z0-9]").cast("int"))
+    w = Window.partitionBy("doc_id").orderBy("p")
+    seg = seg.withColumn(
+        "t",
+        F.coalesce(
+            F.sum("is_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    kept = (
+        seg.filter(
+            ~F.expr("exists(drops, d -> d.s <= t - (1 - is_tok)"
+                    " AND t <= d.e)")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "seg"))),
+                    lambda x: x["seg"],
+                ),
+                "",
+            ).alias("kept_text")
+        )
+    )
+    # a doc whose every segment dropped yields no kept row -> empty text
+    out_touched = meta.join(kept, "doc_id", "left").select(
+        "doc_id", "n_tokens", "n_spans_dropped", "n_tokens_dropped",
+        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+    )
+    return untouched.unionByName(out_touched)
 
 
 def _self_runs(docs: DataFrame, text_col: str, n: int,

@@ -843,6 +843,86 @@ def test_substring_keep_include_self(spark):
     assert cross["c"].kept_text.count("r0") == 2
 
 
+def test_substring_keep_original_text(spark):
+    """original_text=True emits the raw text with dropped CHAR ranges
+    removed: byte-identical outside drops (casing, punctuation,
+    whitespace, line breaks preserved), boundary separators survive,
+    and interior separators go with their span."""
+    from ocrspark.ops import dedup
+
+    shared = " ".join(f"Dup{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [("a", f"Alpha ONE, two:\n{shared} -- tail aa."),
+         ("b", f"Beta! {shared}; other\twords here bb?"),
+         ("d", "Totally unrelated; TEXT with\nenough words, to stand alone!")],
+        "doc_id string, text string",
+    )
+    rows = {r.doc_id: r for r in dedup.substring_dedup_keep(
+        docs, original_text=True).collect()}
+    # keep-first: a keeps the span verbatim, b drops exactly its chars
+    assert rows["a"].kept_text == f"Alpha ONE, two:\n{shared} -- tail aa."
+    assert rows["b"].kept_text == "Beta! ; other\twords here bb?"
+    assert rows["b"].n_spans_dropped == 1
+    assert rows["b"].n_tokens_dropped == 12
+    # untouched doc passes through byte-identical, never segmented
+    assert rows["d"].kept_text == \
+        "Totally unrelated; TEXT with\nenough words, to stand alone!"
+    assert rows["d"].n_spans_dropped == 0
+    # stats agree with the canonical-domain output on the same corpus
+    canon = {r.doc_id: r for r in
+             dedup.substring_dedup_keep(docs).collect()}
+    for d in rows:
+        assert rows[d].n_tokens == canon[d].n_tokens
+        assert rows[d].n_tokens_dropped == canon[d].n_tokens_dropped
+
+
+def test_substring_keep_edge_spans_original_text(spark):
+    """Char-range removal at text EDGES: a span at the very start keeps
+    the separator after it only if outside the range; a doc whose every
+    token drops comes back as the bare separators (here: empty-ish)."""
+    from ocrspark.ops import dedup
+
+    span = " ".join(f"e{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [("a", span),                       # keeper (lowest doc_id)
+         ("b", span),                       # exact dup: all tokens drop
+         ("c", f"{span}, then Extra kept words follow here")],
+        "doc_id string, text string",
+    )
+    rows = {r.doc_id: r for r in dedup.substring_dedup_keep(
+        docs, original_text=True).collect()}
+    assert rows["a"].kept_text == span
+    assert rows["b"].kept_text == ""        # every segment dropped
+    assert rows["b"].n_tokens_dropped == 10
+    # leading span removed, boundary separator + rest byte-identical
+    assert rows["c"].kept_text == ", then Extra kept words follow here"
+
+
+def test_substring_keep_hot_span_cap_exemption(spark):
+    """The documented max_df CAP EXEMPTION: a span occurring at more
+    positions corpus-wide than max_df never forms runs, so ExactSubstr
+    leaves it uncleaned by design (corpus-hot boilerplate is
+    strip_boilerplate_lines' job; curate_clean_corpus chains the two)."""
+    from ocrspark.ops import dedup
+
+    hot = " ".join(f"h{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(f"d{i:02d}", f"unique{i} opener {hot} unique{i} closer")
+         for i in range(9)],
+        "doc_id string, text string",
+    )
+    # max_df=4: the hot grams occur 9 times > 4 -> capped out, no drops
+    capped = dedup.substring_dedup_keep(docs, max_df=4).collect()
+    assert all(r.n_spans_dropped == 0 for r in capped)
+    assert all("h0" in r.kept_text for r in capped)
+    # raising the cap above the occurrence count restores cleaning
+    uncapped = {r.doc_id: r for r in
+                dedup.substring_dedup_keep(docs, max_df=64).collect()}
+    assert uncapped["d00"].n_spans_dropped == 0
+    assert all(uncapped[f"d{i:02d}"].n_spans_dropped == 1
+               for i in range(1, 9))
+
+
 def test_pq_kmeans_codebooks(spark):
     """The KMeans codebooks slot into the PQ family via books= with the
     same contract as the deterministic stand-in, and trained codebooks
