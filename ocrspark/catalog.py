@@ -38,9 +38,29 @@ def _task_sort_key(task_number):
     return F.when(num != "", num.cast("int")).otherwise(F.lit(2**31 - 1))
 
 
-def exams_catalog(extractions: DataFrame) -> DataFrame:
+# The catalog aggregates build ONE nested row per subject/exam by design
+# (the reference's exams.json is a single JSON document per subject), so
+# their collect_lists are unbounded per key in principle.  These caps make
+# that contract explicit at adversarial key skew: a pathological hot
+# subject FAILS LOUD with the offending key in the error instead of
+# silently building a multi-GB row (or OOMing a task).  Generous for the
+# exam domain (real subjects carry tens of exams x tens of tasks).
+CATALOG_MAX_TASKS_PER_EXAM = 50_000
+CATALOG_MAX_EXAMS_PER_SUBJECT = 10_000
+
+
+def exams_catalog(extractions: DataFrame,
+                  max_tasks_per_exam: int = CATALOG_MAX_TASKS_PER_EXAM,
+                  ) -> DataFrame:
     """extractions -> one row per (subject, exam_version) with ordered tasks,
-    source_subject_code, and the exam's observed source codes / topics."""
+    source_subject_code, and the exam's observed source codes / topics.
+
+    Per-exam task volume is guarded BEFORE the nested row is built: a
+    partial-agg ``groupBy.count`` (hot keys collapse map-side, the
+    ``cap_by_key`` argument) feeds an in-plan ``raise_error`` when any
+    (subject, exam_version) exceeds ``max_tasks_per_exam`` — the giant
+    collect_list row is never materialized.  The count join-back is
+    null-safe so NULL keys group exactly like the aggregation's."""
     media_refs = F.transform(
         F.filter(F.col("spans"), lambda s: s["kind"] == "image"),
         lambda s: s["media_ref"],
@@ -62,6 +82,29 @@ def exams_catalog(extractions: DataFrame) -> DataFrame:
             media_refs.alias("media_refs"),
         ).alias("t"),
     )
+    # the guard lives INSIDE the join key (not a droppable payload
+    # column) so column pruning can never optimize the raise away
+    sizes = (
+        tasks.groupBy("subject", "exam_version")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.when(
+                F.col("_n") > max_tasks_per_exam,
+                F.raise_error(F.concat(
+                    F.lit("exams_catalog: (subject, exam_version)=("),
+                    F.col("subject"), F.lit(", "), F.col("exam_version"),
+                    F.lit(") has "), F.col("_n").cast("string"),
+                    F.lit(f" tasks > cap {max_tasks_per_exam}"),
+                )).cast("string"),
+            ).otherwise(F.col("subject")).alias("_g_subject"),
+            F.col("exam_version").alias("_g_exam_version"),
+        )
+    )
+    tasks = tasks.join(
+        sizes,
+        tasks["subject"].eqNullSafe(F.col("_g_subject"))
+        & tasks["exam_version"].eqNullSafe(F.col("_g_exam_version")),
+    ).drop("_g_subject", "_g_exam_version")
     per_exam = tasks.groupBy("subject", "exam_version").agg(
         F.min("source_subject_code").alias("source_subject_code"),
         F.transform(
@@ -79,12 +122,20 @@ def exams_catalog(extractions: DataFrame) -> DataFrame:
 
 
 def subjects_catalog(per_exam: DataFrame,
-                     ignored: DataFrame | None = None) -> DataFrame:
+                     ignored: DataFrame | None = None,
+                     max_exams_per_subject: int =
+                     CATALOG_MAX_EXAMS_PER_SUBJECT) -> DataFrame:
     """exams_catalog rows -> one row per subject (the exams.json outer
     value): alternate_codes, topics (minus ignored), ignored_topics, exams.
 
     ``ignored``: optional small (subject, ignored_topics array<string>)
     override table (S6), broadcast-joined (J2 pattern).
+
+    Per-subject exam count is guarded post-agg (the input is one
+    ALREADY-AGGREGATED row per (subject, exam_version), each bounded by
+    ``exams_catalog``'s task cap, so the map entries — not their payload
+    — are the skew axis here): a subject exceeding
+    ``max_exams_per_subject`` versions raises in-plan with the key named.
     """
     per_subject = per_exam.groupBy("subject").agg(
         F.array_sort(
@@ -115,6 +166,18 @@ def subjects_catalog(per_exam: DataFrame,
                 )
             )
         ).alias("exams"),
+    )
+    per_subject = per_subject.withColumn(
+        "exams",
+        F.when(
+            F.size(F.map_keys(F.col("exams"))) > max_exams_per_subject,
+            F.raise_error(F.concat(
+                F.lit("subjects_catalog: subject "), F.col("subject"),
+                F.lit(" has "),
+                F.size(F.map_keys(F.col("exams"))).cast("string"),
+                F.lit(f" exam versions > cap {max_exams_per_subject}"),
+            )),
+        ).otherwise(F.col("exams")),
     )
     alternate = F.array_remove(F.col("observed_codes"), F.col("subject"))
     if ignored is not None:

@@ -614,8 +614,35 @@ def pq_codebooks(emb: DataFrame, m: int = PQ_M,
     )
 
 
+def _pq_train_subvectors(emb: DataFrame, m: int, train_cap: int) -> DataFrame:
+    """Cached, deterministically-bounded subvector table feeding the m
+    per-subspace KMeans fits: the train slice is the ``train_cap``
+    lowest-md5(vec_id) vectors (a pure-hash deterministic sample — same
+    family as ``sampling.deterministic_split``, no RNG, no count pass),
+    exploded into (sub_id, features) and PERSISTED so the corpus parquet
+    is scanned ONCE — each of the m fits then filters the in-memory
+    table, not the source (plan-asserted: the filtered reads are
+    InMemoryTableScan).  Caller must unpersist."""
+    from pyspark.ml.functions import array_to_vector
+
+    d_sub = DIM // m
+    train = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(train_cap)
+    )
+    return (
+        _subvectors(train, "embedding", m, d_sub, "subvec")
+        .select("sub_id",
+                array_to_vector(F.col("subvec").cast("array<double>"))
+                .alias("features"))
+        .persist()
+    )
+
+
 def pq_kmeans_codebooks(emb: DataFrame, m: int = PQ_M,
-                        ksub: int = PQ_KSUB, seed: int = 42) -> DataFrame:
+                        ksub: int = PQ_KSUB, seed: int = 42,
+                        train_cap: int | None = None) -> DataFrame:
     """Per-subspace Spark-ML KMeans codebooks — the production-quality
     quantizer behind PQ, replacing the deterministic lowest-vec_id
     stand-in exactly as ``ivf_kmeans_centroids`` replaces the IVF one:
@@ -624,30 +651,44 @@ def pq_kmeans_codebooks(emb: DataFrame, m: int = PQ_M,
 
     Not DuckDB-oracle expressible (iterative ML fit); covered by a
     differential test against the stand-in (codes stay well-formed,
-    ADC recall does not degrade).  Each of the m fits runs distributed
-    over the corpus's d/m-dim subvectors (kmeans|| init); only the
+    ADC recall does not degrade).
+
+    Scale shape: PQ training needs only O(ksub * 1e3) points per
+    subspace, so the fits run on a deterministic bounded train slice —
+    default ``train_cap = ksub * 1000`` vectors (16k at the default
+    ksub=16), selected by md5(vec_id) order so the sample is stable
+    across runs and partitionings.  The sliced subvector table is
+    cached ONCE and shared by all m fits (``_pq_train_subvectors``);
+    the corpus is never re-scanned per subspace.  Each fit is a
+    distributed kmeans|| run over its cached subspace slice; only the
     m*ksub cluster centers come back to the driver, returned as a
-    DataFrame so downstream scoring stays a broadcast.  At real corpus
-    scale, fit on a deterministic sample (``sampling.deterministic_split``
-    train slice) rather than the full corpus — PQ training needs only
-    O(ksub * 1e3) points per subspace.
+    DataFrame so downstream scoring stays a broadcast.  Fails loud if
+    a fit returns fewer than ``ksub`` centers (degenerate data — e.g.
+    fewer distinct subvectors than codes) rather than emitting a
+    short codebook downstream ops would silently mis-score.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    d_sub = DIM // m
-    subs = _subvectors(emb.select("vec_id", "embedding"),
-                       "embedding", m, d_sub, "subvec")
-    rows = []
-    for s in range(m):
-        vecs = subs.filter(F.col("sub_id") == s).select(
-            array_to_vector(F.col("subvec").cast("array<double>"))
-            .alias("features"))
-        model = KMeans(k=ksub, seed=seed + s, maxIter=20).fit(vecs)
-        rows.extend(
-            (s, c, [float(x) for x in cent])
-            for c, cent in enumerate(model.clusterCenters())
-        )
+    cap = train_cap if train_cap is not None else ksub * 1000
+    subs = _pq_train_subvectors(emb, m, cap)
+    try:
+        rows = []
+        for s in range(m):
+            vecs = subs.filter(F.col("sub_id") == s).select("features")
+            model = KMeans(k=ksub, seed=seed + s, maxIter=20).fit(vecs)
+            centers = model.clusterCenters()
+            if len(centers) != ksub:
+                raise ValueError(
+                    f"pq_kmeans_codebooks: subspace {s} produced "
+                    f"{len(centers)} centers, need {ksub} — train slice "
+                    f"has too few distinct subvectors (cap={cap}); "
+                    "lower ksub or raise train_cap")
+            rows.extend(
+                (s, c, [float(x) for x in cent])
+                for c, cent in enumerate(centers)
+            )
+    finally:
+        subs.unpersist()
     return emb.sparkSession.createDataFrame(
         rows, "sub_id int, code int, subcent array<float>"
     )

@@ -72,3 +72,21 @@ def test_to_json_catalog_parses(spark):
             assert isinstance(exam["tasks"], list) and exam["tasks"]
             assert {"topic", "task_number", "points", "task_text",
                     "media_refs"} <= set(exam["tasks"][0])
+
+
+def test_catalog_caps_fail_loud(spark):
+    """The collect_list contract at adversarial key skew is explicit: a
+    hot (subject, exam_version) exceeding the task cap, or a subject
+    exceeding the exam-version cap, raises in-plan with the key named —
+    never a silently-truncated or multi-GB catalog row.  Default caps
+    leave the exam domain untouched."""
+    import pytest
+
+    docs = generate_docs(spark, 40, seed=8)
+    ext = extract(docs)
+    assert exams_catalog(ext).count() > 0          # defaults: unchanged
+    with pytest.raises(Exception, match="tasks > cap"):
+        exams_catalog(ext, max_tasks_per_exam=2).collect()
+    per_exam = exams_catalog(ext)
+    with pytest.raises(Exception, match="exam versions > cap"):
+        subjects_catalog(per_exam, max_exams_per_subject=0).collect()

@@ -668,6 +668,12 @@ def test_ppl_model_bounded_on_wide_charset(spark):
     )
     model = textstats.ppl_trigram_model(docs, max_vocab=100)
     assert model.count() <= 100
+    # the top-V cap is a TakeOrdered whose single final merge sees at
+    # most PPL_MERGE_PARTS x V rows by construction: the aggregated
+    # counts are re-hashed into exactly that many partitions first
+    p = _plan(model)
+    assert "TakeOrderedAndProject" in p, p
+    assert f"hashpartitioning(g#" in p and f", {textstats.PPL_MERGE_PARTS})" in p, p
     # far more distinct grams exist than the cap admits
     uncapped = textstats.ppl_trigram_model(docs, max_vocab=1 << 20)
     assert uncapped.count() > 100
@@ -933,6 +939,26 @@ def test_pq_kmeans_codebooks(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     books = similarity.pq_kmeans_codebooks(emb)
     assert books.count() == similarity.PQ_M * similarity.PQ_KSUB
+    # the m fits read the CACHED train slice, not the corpus: the
+    # per-subspace filtered scan must be an InMemoryTableScan (corpus
+    # parquet scanned once, at materialization)
+    subs = similarity._pq_train_subvectors(
+        emb, similarity.PQ_M, similarity.PQ_KSUB * 1000)
+    try:
+        subs.count()
+        p = subs.filter(F.col("sub_id") == 0)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "InMemoryTableScan" in p, p
+    finally:
+        subs.unpersist()
+    # degenerate data (fewer distinct subvectors than codes) fails loud
+    # instead of emitting a short codebook
+    flat = emb.limit(30).select(
+        "vec_id", F.expr(f"array_repeat(CAST(1.0 AS FLOAT), "
+                         f"{similarity.DIM})").alias("embedding"))
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="centers|need"):
+        similarity.pq_kmeans_codebooks(flat)
     codes = similarity.pq_codes(emb, books).collect()
     n = emb.count()
     assert len(codes) == n * similarity.PQ_M
