@@ -26,14 +26,45 @@ def canon_rows(cols, rows):
     return sorted(tuple(str(r[i]) for i in order) for r in rows)
 
 
+def duckdb_con(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def compare_one(spark, con, name, fn, oracles, sf_dir):
+    """Run ONE queries() entry vs its oracle the way the driver does.
+    Returns (ok: bool, detail: str) — rows-only entries (no oracle)
+    count as ok with a 'rows-only' detail."""
+    df = fn(spark, sf_dir)
+    srows = df.collect()
+    scols = df.columns
+    if name not in oracles:
+        return True, f"rows-only: {len(srows)} rows"
+    rel = con.sql(oracles[name])
+    drows = rel.fetchall()
+    dcols = [d[0] for d in rel.description]
+    if sorted(scols) != sorted(dcols):
+        return False, (f"SCHEMA MISMATCH spark={sorted(scols)} "
+                       f"duck={sorted(dcols)}")
+    a, b = canon_rows(scols, srows), canon_rows(dcols, drows)
+    if a == b:
+        return True, f"OK ({len(a)} rows)"
+    detail = f"MISMATCH spark={len(a)} duck={len(b)}"
+    for x, y in zip(a, b):
+        if x != y:
+            detail += f"\n   spark: {x}\n   duck : {y}"
+            break
+    return False, detail
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark(master="local[8]")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-
+    con = duckdb_con(sf_dir)
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -42,39 +73,12 @@ def main():
         if only and name not in only:
             continue
         try:
-            df = fn(spark, sf_dir)
-            srows = df.collect()
-            scols = df.columns
+            ok, detail = compare_one(spark, con, name, fn, oracles, sf_dir)
         except Exception as e:
-            print(f"{name:34s} SPARK ERROR: {str(e)[:200]}")
+            ok, detail = False, f"ERROR: {str(e)[:200]}"
+        if not ok:
             failures += 1
-            continue
-        if name not in oracles:
-            print(f"{name:34s} rows-only: {len(srows)} rows")
-            continue
-        try:
-            rel = con.sql(oracles[name])
-            drows = rel.fetchall()
-            dcols = [d[0] for d in rel.description]
-        except Exception as e:
-            print(f"{name:34s} ORACLE ERROR: {e}")
-            failures += 1
-            continue
-        if sorted(scols) != sorted(dcols):
-            print(f"{name:34s} SCHEMA MISMATCH spark={sorted(scols)} duck={sorted(dcols)}")
-            failures += 1
-            continue
-        a, b = canon_rows(scols, srows), canon_rows(dcols, drows)
-        if a == b:
-            print(f"{name:34s} OK ({len(a)} rows)")
-        else:
-            failures += 1
-            print(f"{name:34s} MISMATCH spark={len(a)} duck={len(b)}")
-            for x, y in zip(a, b):
-                if x != y:
-                    print("   spark:", x)
-                    print("   duck :", y)
-                    break
+        print(f"{name:34s} {detail}")
     print("failures:", failures)
     spark.stop()
     return failures
