@@ -33,7 +33,7 @@ if str(REPO) not in sys.path:
 
 from ocrspark import duckdb_oracle as O  # noqa: E402
 from ocrspark import rules  # noqa: E402
-from ocrspark.ops import dedup, media, similarity, textstats  # noqa: E402
+from ocrspark.ops import dedup, media, sampling, similarity, textstats  # noqa: E402
 from ocrspark.pipeline import extract  # noqa: E402
 from ocrspark.segment import sessionize  # noqa: E402
 from ocrspark.stage1 import stage1  # noqa: E402
@@ -710,6 +710,50 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+REP_LINE_WORDS = 2   # deterministic re-lining for the repetition oracle:
+REP_PARA_LINES = 4   # 2-word lines, paragraph break every 4th line (2-word
+#                      lines actually repeat on the synthetic vocabulary —
+#                      181/500 sf0.01 docs get a non-zero dup_line_bp)
+
+
+def _q_repetition_lines(spark, sf_dir):
+    """Gopher duplicate-line/paragraph repetition stats.  The synthetic
+    documents are flat word streams (no newlines), so the query first
+    re-lines them deterministically — words chunked into 2-word lines,
+    a blank-line paragraph break every 4th line — and the SQL twin
+    applies the identical transform; duplicate lines then occur naturally
+    from the small vocabulary, making the oracle row discriminative."""
+    docs = _tbl(spark, sf_dir, "documents")
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), 0)
+    k, p = REP_LINE_WORDS, REP_PARA_LINES
+    lines = F.when(
+        F.size(ws) >= 1,
+        F.transform(
+            F.sequence(F.lit(0), F.floor((F.size(ws) - 1) / k).cast("int")),
+            lambda i: F.concat(
+                F.array_join(F.slice(ws, i * k + 1, k), " "),
+                F.when((i + 1) % p == 0, F.lit("\n\n")).otherwise(F.lit("\n")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lined = docs.select("doc_id", F.array_join(lines, "").alias("text"))
+    return textstats.repetition_stats(lined)
+
+
+def _q_repetition_ngrams(spark, sf_dir):
+    """Gopher word-n-gram repetition battery: top-2/3/4-gram char mass +
+    duplicated-5..10-gram char mass, basis points, one explode pass."""
+    return textstats.repetition_ngram_stats(_tbl(spark, sf_dir, "documents"))
+
+
+def _q_dsir_importance(spark, sf_dir):
+    """DSIR hashed-ngram importance weights toward the corpus's English
+    slice (lang='en' as the target distribution) + deterministic
+    hash-Gumbel perturbation for Gumbel-top-k resampling."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return sampling.dsir_importance(docs, docs.filter(F.col("lang") == "en"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness harness evaluates the
     # FIRST 50 entries only (observed in r4: 59 entries -> 50 rows).  So
@@ -724,6 +768,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries() entry has a driver oracle row within the r5+r6 cycle.
     return {
         # new in round 6 — never driver-checked
+        "text_repetition_lines": _q_repetition_lines,
+        "text_repetition_ngrams": _q_repetition_ngrams,
+        "curate_dsir_importance": _q_dsir_importance,
         "dedup_substring_keep_text": _q_substring_keep_text,
         "curate_clean_corpus_text": _q_curate_clean_text,
         # r5 rotation tail — driver-dark in r5, green in r3+r4
@@ -2225,6 +2272,173 @@ SELECT media_ref,
 FROM h"""
 
 
+def _sql_repetition_lines() -> str:
+    """Twin of _q_repetition_lines: identical deterministic re-lining
+    (2-word lines, paragraph break every 4th) then textstats.
+    repetition_stats' line/para duplicate fractions."""
+    k, p = REP_LINE_WORDS, REP_PARA_LINES
+
+    def unit_ctes(alias: str, pattern: str) -> str:
+        return f"""
+{alias}u AS (
+  SELECT doc_id, trim(u) AS u
+  FROM lined, unnest(regexp_split_to_array(text, '{pattern}')) AS t(u)
+  WHERE trim(u) <> ''
+),
+{alias}c AS (SELECT doc_id, u, count(*) AS c FROM {alias}u GROUP BY 1, 2),
+{alias}s AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_{alias},
+    CAST(floor(sum(c - 1) * 10000.0 / greatest(sum(c), 1)) AS BIGINT)
+      AS dup_{alias}_bp,
+    CAST(floor(sum(length(u) * (c - 1)) * 10000.0
+               / greatest(sum(length(u) * c), 1)) AS BIGINT)
+      AS dup_{alias}_char_bp
+  FROM {alias}c GROUP BY 1
+)"""
+
+    line_ctes = unit_ctes("line", r"\n")
+    para_ctes = unit_ctes("para", r"\n{2,}")
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+),
+lined AS (
+  SELECT doc_id, array_to_string(
+    CASE WHEN len(ws) >= 1 THEN
+      list_transform(
+        generate_series(0, CAST(floor((len(ws) - 1) / {k}) AS BIGINT)),
+        i -> array_to_string(ws[i * {k} + 1 : i * {k} + {k}], ' ')
+             || CASE WHEN (i + 1) % {p} = 0
+                     THEN chr(10) || chr(10) ELSE chr(10) END)
+    ELSE [] END, '') AS text
+  FROM w
+),{line_ctes},{para_ctes}
+SELECT d.doc_id,
+  coalesce(n_line, 0) AS n_lines,
+  coalesce(dup_line_bp, 0) AS dup_line_bp,
+  coalesce(dup_line_char_bp, 0) AS dup_line_char_bp,
+  coalesce(n_para, 0) AS n_paras,
+  coalesce(dup_para_bp, 0) AS dup_para_bp,
+  coalesce(dup_para_char_bp, 0) AS dup_para_char_bp,
+  CASE WHEN coalesce(dup_line_bp, 0) <= 3000
+        AND coalesce(dup_para_bp, 0) <= 3000
+        AND coalesce(dup_line_char_bp, 0) <= 2000
+        AND coalesce(dup_para_char_bp, 0) <= 2000
+       THEN 1 ELSE 0 END AS repetition_pass
+FROM documents d
+LEFT JOIN lines USING (doc_id) LEFT JOIN paras USING (doc_id)"""
+
+
+def _sql_repetition_ngrams() -> str:
+    """Twin of textstats.repetition_ngram_stats (Gopher top-2/3/4 +
+    dup-5..10 n-gram char mass, thresholds pulled from the Spark
+    constants — single source of truth)."""
+    ns = list(textstats.REP_TOP_NS) + list(textstats.REP_DUP_NS)
+    branches = "\n  UNION ALL".join(
+        f"""
+  SELECT doc_id, total_chars, {n} AS n,
+         array_to_string(ws[i + 1 : i + {n}], ' ') AS gram,
+         CAST(coalesce(list_sum(
+           list_transform(ws[i + 1 : i + {n}], x -> length(x))), 0)
+           AS BIGINT) AS gchars
+  FROM tot, unnest(CASE WHEN len(ws) >= {n}
+                   THEN generate_series(0, len(ws) - {n})
+                   ELSE [] END) AS t(i)"""
+        for n in ns)
+    bp = ("CAST(least(floor({mass} * 10000.0 / greatest(total_chars, 1)), "
+          "10000) AS BIGINT)")
+    piv_cols = ",\n    ".join(
+        [f"coalesce(max(CASE WHEN n = {n} THEN "
+         + bp.format(mass="top_mass")
+         + f" END), 0) AS top{n}_char_bp" for n in textstats.REP_TOP_NS]
+        + [f"coalesce(max(CASE WHEN n = {n} THEN "
+           + bp.format(mass="dup_mass")
+           + f" END), 0) AS dup{n}_char_bp" for n in textstats.REP_DUP_NS])
+    out_cols = [f"top{n}_char_bp" for n in textstats.REP_TOP_NS] \
+        + [f"dup{n}_char_bp" for n in textstats.REP_DUP_NS]
+    sel = ",\n  ".join(
+        f"CAST(coalesce({c}, 0) AS BIGINT) AS {c}" for c in out_cols)
+    pass_conds = " AND ".join(
+        [f"coalesce(top{n}_char_bp, 0) <= {textstats.REP_TOP_MAX_BP[n]}"
+         for n in textstats.REP_TOP_NS]
+        + [f"coalesce(dup{n}_char_bp, 0) <= {textstats.REP_DUP_MAX_BP[n]}"
+           for n in textstats.REP_DUP_NS])
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+),
+tot AS (
+  SELECT doc_id, ws,
+    CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+         AS BIGINT) AS total_chars
+  FROM w
+),
+g AS ({branches}
+),
+gc AS (
+  SELECT doc_id, total_chars, n, gram, gchars, count(*) AS c
+  FROM g GROUP BY 1, 2, 3, 4, 5
+),
+pn AS (
+  SELECT doc_id, total_chars, n,
+    max(c * gchars) AS top_mass,
+    sum(CASE WHEN c >= 2 THEN c * gchars ELSE 0 END) AS dup_mass
+  FROM gc GROUP BY 1, 2, 3
+),
+piv AS (
+  SELECT doc_id,
+    {piv_cols}
+  FROM pn GROUP BY 1
+)
+SELECT d.doc_id,
+  {sel},
+  CASE WHEN {pass_conds} THEN 1 ELSE 0 END AS rep_ngram_pass
+FROM documents d LEFT JOIN piv USING (doc_id)"""
+
+
+def _sql_dsir_importance(n_buckets: int = sampling.DSIR_BUCKETS) -> str:
+    """Twin of sampling.dsir_importance with target = lang='en' docs
+    (int64-scaled per-bucket log-ratios summed per doc, hash-Gumbel)."""
+    grams = ("list_concat(ws, CASE WHEN len(ws) >= 2 THEN "
+             "list_transform(generate_series(0, len(ws) - 2), "
+             "i -> ws[i + 1] || ' ' || ws[i + 2]) ELSE [] END)")
+    bucket = f"CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT) % {n_buckets}"
+    return f"""
+WITH rawd AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+),
+tgtd AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents WHERE lang = 'en'
+),
+rg AS (SELECT doc_id, unnest({grams}) AS g FROM rawd),
+tg AS (SELECT doc_id, unnest({grams}) AS g FROM tgtd),
+rb AS (SELECT doc_id, {bucket} AS b FROM rg),
+tb AS (SELECT {bucket} AS b FROM tg),
+cr AS (SELECT b, count(*) AS cr FROM rb GROUP BY 1),
+ct AS (SELECT b, count(*) AS ct FROM tb GROUP BY 1),
+nr AS (SELECT count(*) AS nr FROM rb),
+nt AS (SELECT count(*) AS nt FROM tb),
+model AS (
+  SELECT cr.b, CAST(round(round(
+      ln((coalesce(ct.ct, 0) + 1)::DOUBLE / (nt.nt + {n_buckets})::DOUBLE)
+    - ln((cr.cr + 1)::DOUBLE / (nr.nr + {n_buckets})::DOUBLE), 9) * 1e9)
+    AS BIGINT) AS llr_e9
+  FROM cr LEFT JOIN ct USING (b) CROSS JOIN nr CROSS JOIN nt
+)
+SELECT rb.doc_id, count(*) AS n_grams,
+  CAST(sum(m.llr_e9) AS BIGINT) AS dsir_score_e9,
+  CAST(round(round(-ln(round(-ln(
+    ((CAST(('0x' || substr(md5(rb.doc_id::VARCHAR || ':gumbel'), 1, 12))
+       AS BIGINT) % 1000000) + 0.5) / 1000000.0), 9)), 9) * 1e9)
+    AS BIGINT) AS gumbel_e9
+FROM rb JOIN model m USING (b)
+GROUP BY 1"""
+
+
 def oracle_sql() -> dict[str, str]:
     tasks_sql = O.sql_extract_tasks(_fixture_rel())
     return {
@@ -2276,6 +2490,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring_keep_self": _sql_substring_keep_self(),
         "dedup_substring_keep_text": _sql_substring_keep_text(),
         "curate_clean_corpus_text": _sql_curate_clean_text(),
+        "text_repetition_lines": _sql_repetition_lines(),
+        "text_repetition_ngrams": _sql_repetition_ngrams(),
+        "curate_dsir_importance": _sql_dsir_importance(),
         "curate_stratified_sample": _sql_stratified_sample(),
         "curate_source_rollup": _sql_source_rollup(),
         "curate_split": _sql_curate_split(),

@@ -150,6 +150,20 @@ def main() -> None:
             tbl("documents")).count()
         queries["curate_source_rollup"] = lambda: sampling.source_rollup(
             tbl("documents")).count()
+        # round-6 additions
+        queries["dedup_substring_keep_text"] = lambda: (
+            dedup.substring_dedup_keep(tbl("documents"), n=3,
+                                       min_run_tokens=3, include_self=True,
+                                       original_text=True)
+            .agg(F.sum(F.length("kept_text"))).collect())
+        queries["text_repetition_ngrams"] = lambda: (
+            textstats.repetition_ngram_stats(tbl("documents"))
+            .agg(F.sum("rep_ngram_pass")).collect())
+        queries["curate_dsir"] = lambda: (
+            sampling.dsir_importance(
+                tbl("documents"),
+                tbl("documents").filter(F.col("lang") == "en"))
+            .agg(F.sum("dsir_score_e9")).collect())
     if os.environ.get("SPARK_GRAFT_DISAGG"):
         # r1-equivalent plan: sink only the round-1 output column families so
         # Catalyst prunes the round-2 work (topic/html/G7) — isolates "new

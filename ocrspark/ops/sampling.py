@@ -211,3 +211,103 @@ def decontaminate(docs: DataFrame, text_col: str = "text",
         .groupBy("test_doc", "train_doc")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+DSIR_BUCKETS = 8192
+
+
+def _uni_bigrams(text_expr):
+    """Lowercased word unigrams + bigrams — DSIR's hashed feature stream."""
+    words = F.regexp_extract_all(F.lower(text_expr), F.lit(r"[a-z0-9]+"), 0)
+    bi = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.array_join(F.slice(words, i + 1, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(words, bi)
+
+
+def _gram_bucket(n_buckets: int):
+    return (
+        F.conv(F.substring(F.md5(F.col("g")), 1, 12), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+def dsir_importance(docs: DataFrame, target: DataFrame,
+                    text_col: str = "text", key_col: str = "doc_id",
+                    n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    per raw doc, (key, n_grams, dsir_score_e9, gumbel_e9).
+
+    ``dsir_score_e9`` is the doc's total log importance weight — the sum
+    over its word uni+bigram occurrences of int64-scaled
+    log(p_target(bucket) / p_raw(bucket)) under two add-one-smoothed
+    hashed bag-of-ngrams models (``n_buckets`` md5 buckets): one fitted
+    on ``target`` (the distribution to select toward), one on ``docs``
+    itself.  High score = target-like.  ``gumbel_e9`` is a deterministic
+    hash-Gumbel perturbation (md5-derived uniform, two rounded lns) —
+    take the top-k docs by ``dsir_score_e9 + gumbel_e9`` for DSIR's
+    Gumbel-top-k sampling-without-replacement; rank/threshold is left to
+    the consumer so the op itself needs no global sort.
+
+    Exactness: per-BUCKET log-ratios are rounded 9dp and scaled to int64
+    in the model (B rows), so the per-doc score is integer addition —
+    order-independent and engine-portable (the ``ppl_proxy`` contract).
+    Docs with zero grams are absent from the output (same as ppl_proxy).
+
+    Scale shape: two bucket-count aggregations (partial-agg; key space
+    bounded at B so no key can straggle), two 1-row totals pulled in as
+    broadcast aggregates, ONE broadcast B-row model, one equi-join of
+    the exploded raw gram stream against it — no corpus-sized shuffle.
+    The raw-side model join is inner-safe by construction (every scored
+    bucket was counted in the raw fit).
+    """
+    b = _gram_bucket(n_buckets)
+    raw_b = docs.select(
+        F.col(key_col), F.explode(_uni_bigrams(F.col(text_col))).alias("g")
+    ).select(key_col, b.alias("b"))
+    tgt_b = target.select(
+        F.explode(_uni_bigrams(F.col(text_col))).alias("g")
+    ).select(b.alias("b"))
+
+    cr = raw_b.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    ct = tgt_b.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    nr = raw_b.agg(F.count(F.lit(1)).alias("nr"))
+    nt = tgt_b.agg(F.count(F.lit(1)).alias("nt"))
+
+    llr = F.round(
+        F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+              / (F.col("nt") + F.lit(n_buckets)).cast("double"))
+        - F.log((F.col("cr") + 1).cast("double")
+                / (F.col("nr") + F.lit(n_buckets)).cast("double")),
+        9,
+    )
+    model = (
+        cr.join(ct, "b", "left")
+        .crossJoin(F.broadcast(nr)).crossJoin(F.broadcast(nt))
+        .select("b", F.round(llr * 1e9).cast("long").alias("llr_e9"))
+    )
+
+    h6 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":gumbel"))),
+            1, 12,
+        ), 16, 10,
+    ).cast("long") % 1_000_000
+    u = (h6.cast("double") + F.lit(0.5)) / F.lit(1_000_000.0)
+    gumbel_e9 = F.round(F.round(-F.log(F.round(-F.log(u), 9)), 9) * 1e9) \
+        .cast("long")
+
+    return (
+        raw_b.join(F.broadcast(model), "b")
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("llr_e9").cast("long").alias("dsir_score_e9"),
+        )
+        .withColumn("gumbel_e9", gumbel_e9)
+    )

@@ -421,3 +421,165 @@ def tfidf_topterms(docs: DataFrame, text_col: str = "text",
         .select("doc_id", "rank", "term",
                 F.round(F.col("s9") * 1e9).cast("long").alias("score_e9"))
     )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher line/paragraph repetition filters (Rae et al. 2021 §A1.1) —
+    the four repetition signals ``gopher_quality``'s word/2-gram stats do
+    NOT cover: per doc, the fraction of duplicate lines and paragraphs by
+    occurrence COUNT and by CHARACTER MASS, integer basis points for
+    cross-engine hashing.
+
+    A unit (line = ``\\n`` segment, paragraph = ``\\n{2,}`` segment; both
+    trimmed, blanks dropped) is "duplicate" on its 2nd+ occurrence within
+    the document; char mass counts the characters of those repeated
+    occurrences.  ``repetition_pass`` applies Gopher's thresholds
+    (dup lines <= 30%, dup paragraphs <= 30%, dup line chars <= 20%,
+    dup paragraph chars <= 20%).  Docs with no non-blank units score 0
+    and pass.
+
+    Scale shape: explode -> groupBy(doc_id, unit) -> groupBy(doc_id),
+    both partial-aggregated and doc-keyed (no corpus-hot key — a unit
+    string repeated across the whole corpus still groups per doc), then
+    two left joins back on doc_id.  Same shape as ``gopher_quality``'s
+    2-gram mass; nothing quadratic, nothing corpus-global.
+    """
+    def unit_stats(pattern: str, prefix: str) -> DataFrame:
+        units = F.filter(
+            F.transform(F.split(F.col(text_col), pattern), lambda x: F.trim(x)),
+            lambda x: x != "",
+        )
+        ex = docs.select("doc_id", F.explode(units).alias("u"))
+        per_unit = ex.groupBy("doc_id", "u").agg(F.count(F.lit(1)).alias("c"))
+        return per_unit.groupBy("doc_id").agg(
+            F.sum("c").cast("long").alias(f"n_{prefix}s"),
+            F.floor(F.sum(F.col("c") - 1) * 10000
+                    / F.greatest(F.sum("c"), F.lit(1)))
+            .cast("long").alias(f"dup_{prefix}_bp"),
+            F.floor(F.sum(F.length("u") * (F.col("c") - 1)) * 10000
+                    / F.greatest(F.sum(F.length("u") * F.col("c")), F.lit(1)))
+            .cast("long").alias(f"dup_{prefix}_char_bp"),
+        )
+
+    lines = unit_stats(r"\n", "line")
+    paras = unit_stats(r"\n{2,}", "para")
+    base = docs.select("doc_id")
+    out = base.join(lines, "doc_id", "left").join(paras, "doc_id", "left")
+    filled = out.select(
+        "doc_id",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+          for c in ["n_lines", "dup_line_bp", "dup_line_char_bp",
+                    "n_paras", "dup_para_bp", "dup_para_char_bp"]],
+    )
+    passed = (
+        (F.col("dup_line_bp") <= 3000) & (F.col("dup_para_bp") <= 3000)
+        & (F.col("dup_line_char_bp") <= 2000)
+        & (F.col("dup_para_char_bp") <= 2000)
+    )
+    return filled.withColumn("repetition_pass", passed.cast("int"))
+
+
+REP_TOP_NS = (2, 3, 4)
+REP_DUP_NS = (5, 6, 7, 8, 9, 10)
+# Gopher §A1.1 thresholds, basis points: top-n-gram char fraction and
+# duplicated-n-gram char fraction, per n
+REP_TOP_MAX_BP = {2: 2000, 3: 1800, 4: 1600}
+REP_DUP_MAX_BP = {5: 1500, 6: 1400, 7: 1300, 8: 1200, 9: 1100, 10: 1000}
+
+
+def repetition_ngram_stats(docs: DataFrame,
+                           text_col: str = "text") -> DataFrame:
+    """Gopher's word n-gram repetition battery (Rae et al. 2021 §A1.1):
+    per doc, the character mass claimed by the TOP n-gram for n=2,3,4 and
+    by ALL duplicated n-grams for n=5..10, in basis points of the doc's
+    word-character total, plus the combined ``rep_ngram_pass`` flag.
+
+    Char mass of a gram = occurrences x characters in the gram's words
+    (separators excluded, so the ratio is against the same word-char
+    denominator for every n); duplicated mass counts every occurrence of
+    a gram seen 2+ times, capped at 10000 bp (overlapping occurrences
+    can over-count, as in the reference Gopher implementations).  Docs
+    with fewer words than n contribute 0 for that n and pass it.
+
+    Scale shape: ONE explode produces the (doc, n, gram) stream for all
+    nine n in a single pass (9x the token volume, one shuffle), then
+    groupBy(doc_id, n, gram) -> groupBy(doc_id, n) -> conditional-agg
+    pivot to one row per doc — every key doc-scoped, partial-aggregated,
+    nothing corpus-global.  Same family as ``gopher_quality``'s 2-gram
+    mass; this op completes the Gopher repetition census (2.x top-mass,
+    5..10 dup-mass; line/paragraph signals live in
+    ``repetition_stats``).
+    """
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9]+"), 0)
+    total_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    all_ns = list(REP_TOP_NS) + list(REP_DUP_NS)
+
+    # closure factory, NOT `lambda i, n=n: ...` — a two-arg lambda makes
+    # F.transform pass (element, index) and the default arg captures the
+    # array INDEX instead of the gram size
+    def gram_struct(n: int):
+        return lambda i: F.struct(
+            F.lit(n).alias("n"),
+            F.array_join(F.slice(words, i + 1, n), " ").alias("gram"),
+            F.aggregate(
+                F.slice(words, i + 1, n), F.lit(0).cast("long"),
+                lambda acc, w: acc + F.length(w),
+            ).alias("gchars"),
+        )
+
+    # one array of (n, gram, gram_word_chars) structs per doc
+    per_n = [
+        F.when(
+            F.size(words) >= n,
+            F.transform(F.sequence(F.lit(0), F.size(words) - n),
+                        gram_struct(n)),
+        ).otherwise(
+            F.array().cast("array<struct<n:int,gram:string,gchars:bigint>>")
+        )
+        for n in all_ns
+    ]
+    base = docs.select(
+        "doc_id", total_chars.alias("total_chars"),
+        F.explode(F.concat(*per_n)).alias("s"),
+    ).select(
+        "doc_id", "total_chars",
+        F.col("s.n").alias("n"), F.col("s.gram").alias("gram"),
+        F.col("s.gchars").alias("gchars"),
+    )
+    gcounts = base.groupBy("doc_id", "total_chars", "n", "gram", "gchars") \
+        .agg(F.count(F.lit(1)).alias("c"))
+    per_doc_n = gcounts.groupBy("doc_id", "total_chars", "n").agg(
+        F.max(F.col("c") * F.col("gchars")).alias("top_mass"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c") * F.col("gchars"))
+              .otherwise(F.lit(0))).alias("dup_mass"),
+    )
+    bp = lambda mass: F.least(
+        F.floor(mass * 10000 / F.greatest(F.col("total_chars"), F.lit(1))),
+        F.lit(10000),
+    ).cast("long")
+    aggs = []
+    for n in REP_TOP_NS:
+        aggs.append(
+            F.coalesce(F.max(F.when(F.col("n") == n, bp(F.col("top_mass")))),
+                       F.lit(0)).cast("long").alias(f"top{n}_char_bp"))
+    for n in REP_DUP_NS:
+        aggs.append(
+            F.coalesce(F.max(F.when(F.col("n") == n, bp(F.col("dup_mass")))),
+                       F.lit(0)).cast("long").alias(f"dup{n}_char_bp"))
+    out = docs.select("doc_id").join(
+        per_doc_n.groupBy("doc_id").agg(*aggs), "doc_id", "left"
+    ).select(
+        "doc_id",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+          for c in [f"top{n}_char_bp" for n in REP_TOP_NS]
+          + [f"dup{n}_char_bp" for n in REP_DUP_NS]],
+    )
+    passed = None
+    for n in REP_TOP_NS:
+        cond = F.col(f"top{n}_char_bp") <= REP_TOP_MAX_BP[n]
+        passed = cond if passed is None else (passed & cond)
+    for n in REP_DUP_NS:
+        passed = passed & (F.col(f"dup{n}_char_bp") <= REP_DUP_MAX_BP[n])
+    return out.withColumn("rep_ngram_pass", passed.cast("int"))

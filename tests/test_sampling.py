@@ -178,3 +178,77 @@ def test_ppl_proxy_orders_gibberish_above_indistribution(spark):
     got = {r.doc_id: r.avg_nll_e9 for r in textstats.ppl_proxy(docs).collect()}
     assert got[101] > got[100]
     assert got[100] == got[0]  # identical text, identical score
+
+
+def test_repetition_stats_planted_duplicates(spark):
+    from ocrspark.ops import textstats
+
+    docs = spark.createDataFrame(
+        [
+            # non-blank lines: "spam spam" x3 + "real line" -> 2 dup
+            # occurrences / 4 lines = 5000bp; the two paragraphs differ
+            # ("spam spam\nreal line" vs "spam spam\nspam spam") -> 0
+            (1, "spam spam\nreal line\n\nspam spam\nspam spam"),
+            # no structure at all: 1 line, 1 para, zero dup
+            (2, "just one line of text"),
+            # blank-heavy doc: blanks dropped, not counted as dup units
+            (3, "a\n\n\n\na"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.repetition_stats(docs).collect()}
+    assert out[1]["n_lines"] == 4
+    assert out[1]["dup_line_bp"] == 5000
+    assert out[1]["n_paras"] == 2 and out[1]["dup_para_bp"] == 0
+    assert out[1]["repetition_pass"] == 0
+    assert out[2]["n_lines"] == 1
+    assert out[2]["dup_line_bp"] == 0
+    assert out[2]["repetition_pass"] == 1
+    # doc 3: lines 'a','a' -> 1 dup of 2 = 5000bp; paras 'a','a' same
+    assert out[3]["n_lines"] == 2 and out[3]["dup_line_bp"] == 5000
+    assert out[3]["n_paras"] == 2 and out[3]["dup_para_bp"] == 5000
+
+
+def test_repetition_ngram_stats_planted(spark):
+    from ocrspark.ops import textstats
+
+    # "ab cd" repeated 5 times: every 2-gram occurrence is a repeat of
+    # one of two grams; top-2-gram ("ab cd" or "cd ab") mass dominates
+    rep = " ".join(["ab cd"] * 5)          # 10 words, 20 chars
+    # long all-distinct doc: no repeats, and no single n-gram can claim
+    # enough char mass to trip the top-n thresholds
+    uniq = " ".join(f"w{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(1, rep), (2, uniq)], "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in textstats.repetition_ngram_stats(docs).collect()}
+    # doc 1: top 2-gram "ab cd" occurs 5x, 4 chars -> 20/20 chars = 10000bp
+    assert out[1]["top2_char_bp"] == 10000
+    # 5-grams: "ab cd ab cd ab" occurs 3x (overlapping)... all 6 5-gram
+    # occurrences are duplicated -> dup mass capped at 10000
+    assert out[1]["dup5_char_bp"] == 10000
+    assert out[1]["rep_ngram_pass"] == 0
+    assert out[2]["top2_char_bp"] > 0        # some gram always claims mass
+    assert out[2]["dup5_char_bp"] == 0
+    assert out[2]["rep_ngram_pass"] == 1
+
+
+def test_dsir_importance_moves_toward_target(spark):
+    # target = docs about "alpha"; raw corpus has alpha-docs and beta-docs.
+    # alpha-docs must outscore beta-docs, and scores must be deterministic.
+    alpha = [(i, "alpha words " + " ".join(["alpha"] * 5)) for i in range(10)]
+    beta = [(i + 10, "beta words " + " ".join(["beta"] * 5)) for i in range(10)]
+    docs = spark.createDataFrame(alpha + beta, "doc_id long, text string")
+    target = docs.filter(F.col("doc_id") < 10)
+    out = sampling.dsir_importance(docs, target, n_buckets=64)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    a_score = sum(rows[i]["dsir_score_e9"] for i in range(10)) / 10
+    b_score = sum(rows[i + 10]["dsir_score_e9"] for i in range(10)) / 10
+    assert a_score > b_score
+    # deterministic: same input, same scores + same gumbel keys
+    rows2 = {r["doc_id"]: r
+             for r in sampling.dsir_importance(docs, target,
+                                               n_buckets=64).collect()}
+    assert all(rows[k]["dsir_score_e9"] == rows2[k]["dsir_score_e9"]
+               and rows[k]["gumbel_e9"] == rows2[k]["gumbel_e9"]
+               for k in rows)
