@@ -746,6 +746,33 @@ def _q_repetition_ngrams(spark, sf_dir):
     return textstats.repetition_ngram_stats(_tbl(spark, sf_dir, "documents"))
 
 
+QG_MIN_QUALITY_BP = 5000  # quality_score floor for the composite gate
+
+
+def _q_quality_gate(spark, sf_dir):
+    """Quality-gate composite: every doc with its Gopher shape stats,
+    n-gram repetition battery, and heuristic quality score joined into
+    one diagnostic row, plus the combined ``keep`` flag (gopher_pass AND
+    rep_ngram_pass AND quality_bp >= 5000) — the standard pretraining
+    quality-filter conjunction as ONE oracled plan.  All three inputs
+    are themselves oracle-green ops; three doc-keyed equi-joins."""
+    docs = _tbl(spark, sf_dir, "documents")
+    gq = textstats.gopher_quality(docs).select(
+        "doc_id", "n_words", "gopher_pass")
+    rep = textstats.repetition_ngram_stats(docs).select(
+        "doc_id", "top2_char_bp", "rep_ngram_pass")
+    q = textstats.quality_score(docs).select("doc_id", "quality_bp")
+    keep = (
+        (F.col("gopher_pass") == 1) & (F.col("rep_ngram_pass") == 1)
+        & (F.col("quality_bp") >= QG_MIN_QUALITY_BP)
+    ).cast("int")
+    return (
+        gq.join(rep, "doc_id").join(q, "doc_id")
+        .select("doc_id", "n_words", "quality_bp", "top2_char_bp",
+                "gopher_pass", "rep_ngram_pass", keep.alias("keep"))
+    )
+
+
 def _q_dsir_importance(spark, sf_dir):
     """DSIR hashed-ngram importance weights toward the corpus's English
     slice (lang='en' as the target distribution) + deterministic
@@ -771,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_lines": _q_repetition_lines,
         "text_repetition_ngrams": _q_repetition_ngrams,
         "curate_dsir_importance": _q_dsir_importance,
+        "curate_quality_gate": _q_quality_gate,
         "dedup_substring_keep_text": _q_substring_keep_text,
         "curate_clean_corpus_text": _q_curate_clean_text,
         # r5 rotation tail — driver-dark in r5, green in r3+r4
@@ -2398,6 +2426,21 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN piv USING (doc_id)"""
 
 
+def _sql_quality_gate() -> str:
+    """Twin of _q_quality_gate: the three already-oracled stage twins
+    composed as parenthesized subqueries (structural composition, no
+    string surgery), joined on doc_id with the same keep conjunction."""
+    return f"""
+SELECT g.doc_id, g.n_words, q.quality_bp, r.top2_char_bp,
+       g.gopher_pass, r.rep_ngram_pass,
+       CASE WHEN g.gopher_pass = 1 AND r.rep_ngram_pass = 1
+             AND q.quality_bp >= {QG_MIN_QUALITY_BP}
+            THEN 1 ELSE 0 END AS keep
+FROM ({_sql_gopher_quality()}) g
+JOIN ({_sql_repetition_ngrams()}) r ON g.doc_id = r.doc_id
+JOIN ({_sql_quality()}) q ON g.doc_id = q.doc_id"""
+
+
 def _sql_dsir_importance(n_buckets: int = sampling.DSIR_BUCKETS) -> str:
     """Twin of sampling.dsir_importance with target = lang='en' docs
     (int64-scaled per-bucket log-ratios summed per doc, hash-Gumbel)."""
@@ -2493,6 +2536,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition_lines": _sql_repetition_lines(),
         "text_repetition_ngrams": _sql_repetition_ngrams(),
         "curate_dsir_importance": _sql_dsir_importance(),
+        "curate_quality_gate": _sql_quality_gate(),
         "curate_stratified_sample": _sql_stratified_sample(),
         "curate_source_rollup": _sql_source_rollup(),
         "curate_split": _sql_curate_split(),

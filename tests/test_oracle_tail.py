@@ -1,7 +1,7 @@
 """CI oracle coverage for the driver-window rotation tail (ADVICE r5 #1).
 
 The round driver's correctness gate checks only the FIRST 50 of the
-queries() entries, so with 69 entries the last 19 get no external oracle
+queries() entries, so with 70 entries the last 20 get no external oracle
 row in any given round; the rotation contract (PLAN.md) alternates which
 entries sit in the tail.  That made queries() ordering load-bearing on a
 reverse-engineered harness behavior with no automated backstop: if the
