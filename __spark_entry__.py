@@ -484,6 +484,63 @@ def _q_curate_decontaminate(spark, sf_dir):
     return sampling.decontaminate(_tbl(spark, sf_dir, "documents"))
 
 
+def _q_dedup_lines_global(spark, sf_dir):
+    """C4-style corpus-GLOBAL exact line dedup (keep-first) over a
+    deterministically synthesized multi-line corpus.  The fixture's
+    documents are single-line word streams, so the query derives docs
+    with real line structure and planted cross-shard duplicate lines
+    from the table itself (the BASELINE "synthesize deterministically at
+    small scale" rule): shard 'a' groups every doc with doc_id % 11 != 0
+    into 100 multi-line docs by doc_id % 100; shard 'b' re-groups every
+    third doc into 7 docs (ids 1000+) by doc_id % 7.  Lines present in
+    both shards must survive only in 'a' (lower doc_id); lines of docs
+    divisible by 33 exist ONLY in 'b' and must survive there — so the
+    oracle hash checks both the drop and the keep side of the policy."""
+    docs = _tbl(spark, sf_dir, "documents")
+
+    def _grouped(src, gid):
+        return (
+            src.select(gid.alias("gid"), "doc_id", "text")
+            .groupBy("gid")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda x: x["text"]), "\n").alias("text"))
+            .select(F.col("gid").alias("doc_id"), "text")
+        )
+
+    a = _grouped(docs.filter(F.col("doc_id") % 11 != 0),
+                 F.col("doc_id") % 100)
+    b = _grouped(docs.filter(F.col("doc_id") % 3 == 0),
+                 F.col("doc_id") % 7 + 1000)
+    return dedup.line_dedup_keep_first(a.unionByName(b))
+
+
+def _q_mixture_weights(spark, sf_dir):
+    """Temperature-scaled source mixture weights with UniMax epoch cap."""
+    from ocrspark.ops import sampling
+
+    return sampling.mixture_weights(_tbl(spark, sf_dir, "documents"))
+
+
+def _q_redact_pii(spark, sf_dir):
+    """PII redaction over deterministically planted addresses: every third
+    doc gets a synthetic email + IPv4 + '+'-format phone prefix derived
+    from its own doc_id (the corpus itself carries no PII), so the oracle
+    hash verifies the full mask/count behavior, not a passthrough."""
+    docs = _tbl(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@mail.example.com from 10."),
+                 (F.col("doc_id") % 200).cast("string"), F.lit(".0."),
+                 (F.col("doc_id") % 250).cast("string"), F.lit(" tel +47 "),
+                 (F.col("doc_id") * 37 + 10000000).cast("string"),
+                 F.lit(" "), F.col("text")),
+    ).otherwise(F.col("text"))
+    return textstats.redact_pii(docs.select("doc_id", planted.alias("text")))
+
+
 def _q_curate_corpus(spark, sf_dir):
     """End-to-end curation composite: quality gate -> exact-dup keeper ->
     near-dup component keeper -> deterministic split.  The full
@@ -816,6 +873,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _q_tokens,
         "text_fingerprint": _q_fingerprint,
         "p16_code_detect": _q_code_detect,
+        # new mid-round 6 — never driver-checked (placed inside the
+        # 50-row window; evicts three r5-green text_* rows to the tail,
+        # where tests/test_oracle_tail.py keeps checking them)
+        "dedup_lines_global": _q_dedup_lines_global,
+        "curate_mixture_weights": _q_mixture_weights,
+        "text_redact_pii": _q_redact_pii,
         # green in r5 (driver rows 1-50 of CORRECTNESS_r05.json)
         "dedup_substring_keep": _q_substring_keep,
         "dedup_substring_self": _q_substring_self,
@@ -1260,6 +1323,130 @@ SELECT e.doc_id AS test_doc, t.doc_id AS train_doc, count(*) AS n_shared
 FROM capped e JOIN capped t USING (h)
 WHERE e.split <> 'train' AND t.split = 'train'
 GROUP BY 1, 2"""
+
+
+def _sql_lines_global() -> str:
+    """Twin of dedup.line_dedup_keep_first over the same synthesized
+    two-shard multi-line corpus as _q_dedup_lines_global: group by the
+    canonical token stream of each line, keep only the first occurrence
+    in (doc_id, line_no) order, blank-canonical lines always kept."""
+    return """
+WITH a AS (
+  SELECT doc_id % 100 AS gid,
+         string_agg(text, chr(10) ORDER BY doc_id) AS text
+  FROM documents WHERE doc_id % 11 <> 0 GROUP BY 1
+),
+b AS (
+  SELECT 1000 + doc_id % 7 AS gid,
+         string_agg(text, chr(10) ORDER BY doc_id) AS text
+  FROM documents WHERE doc_id % 3 = 0 GROUP BY 1
+),
+corpus AS (
+  SELECT gid AS doc_id, text FROM a
+  UNION ALL SELECT gid AS doc_id, text FROM b
+),
+lx AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM corpus),
+l AS (
+  SELECT doc_id, u.s.i AS line_no, u.s.line AS line
+  FROM (SELECT doc_id,
+          list_transform(generate_series(1, len(lines)),
+                         i -> {'i': CAST(i - 1 AS BIGINT),
+                               'line': lines[i]}) AS ls
+        FROM lx), LATERAL UNNEST(ls) AS u(s)
+),
+ck AS (
+  SELECT doc_id, line_no, line,
+         array_to_string(regexp_extract_all(lower(line), '[a-z0-9]+'),
+                         ' ') AS ckey
+  FROM l
+),
+keepc AS (
+  SELECT doc_id, line_no, line FROM ck WHERE ckey <> ''
+  QUALIFY row_number() OVER (PARTITION BY ckey
+                             ORDER BY doc_id, line_no) = 1
+),
+kept AS (
+  SELECT doc_id, line_no, line FROM keepc
+  UNION ALL
+  SELECT doc_id, line_no, line FROM ck WHERE ckey = ''
+),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY 1),
+re AS (
+  SELECT doc_id, count(*) AS n_lines_kept,
+         string_agg(line, chr(10) ORDER BY line_no) AS kept_text
+  FROM kept GROUP BY 1
+)
+SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines,
+       CAST(coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+       coalesce(r.kept_text, '') AS kept_text
+FROM tot t LEFT JOIN re r ON t.doc_id = r.doc_id"""
+
+
+def _sql_mixture_weights(alpha: str = "0.50", cap: int = 400) -> str:
+    """Twin of sampling.mixture_weights (int64-rounded weight mass)."""
+    return f"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+           AS total_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS t_all FROM per),
+w AS (
+  SELECT per.*, t_all,
+         CAST(round(pow(total_tokens::DOUBLE / t_all::DOUBLE, {alpha})
+                    * 1e9) AS BIGINT) AS w_e9
+  FROM per CROSS JOIN tot
+),
+wt AS (SELECT CAST(sum(w_e9) AS BIGINT) AS w_all FROM w),
+s AS (
+  SELECT w.*, w_all,
+         total_tokens::DOUBLE / t_all::DOUBLE AS p,
+         w_e9::DOUBLE / w_all::DOUBLE AS q
+  FROM w CROSS JOIN wt
+)
+SELECT source, n_docs, total_tokens,
+  CAST(round(p * 1e9) AS BIGINT) AS natural_share_e9,
+  CAST(round(q * 1e9) AS BIGINT) AS temp_share_e9,
+  least(CAST(round(q / p * 100) AS BIGINT), {cap}) AS epochs_e2,
+  CASE WHEN CAST(round(q / p * 100) AS BIGINT) > {cap}
+       THEN 1 ELSE 0 END AS capped
+FROM s"""
+
+
+def _sql_redact_pii() -> str:
+    """Twin of textstats.redact_pii over the same planted-PII stream
+    (patterns shared verbatim with the Spark op — the Java/RE2 common
+    subset; DuckDB needs the explicit 'g' flag Spark implies)."""
+    from ocrspark.ops.textstats import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN
+      'contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com from 10.'
+      || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+      || CAST(doc_id % 250 AS VARCHAR) || ' tel +47 '
+      || CAST(10000000 + doc_id * 37 AS VARCHAR) || ' ' || text
+    ELSE text END AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+    regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM src
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+    CAST(len(regexp_extract_all(t1, '{PII_IPV4}')) AS BIGINT) AS n_ips,
+    regexp_replace(t1, '{PII_IPV4}', '<IP>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id, n_emails, n_ips,
+  CAST(len(regexp_extract_all(t2, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+  regexp_replace(t2, '{PII_PHONE}', '<PHONE>', 'g') AS redacted_text
+FROM s2"""
 
 
 def _sql_substring_runs_ctes(n: int = 8, max_df: int = 64,
@@ -2529,6 +2716,9 @@ def oracle_sql() -> dict[str, str]:
         "text_ppl_proxy": _sql_ppl_proxy(),
         "dedup_substring_spans": _sql_substring_spans(),
         "dedup_substring_keep": _sql_substring_keep(),
+        "dedup_lines_global": _sql_lines_global(),
+        "curate_mixture_weights": _sql_mixture_weights(),
+        "text_redact_pii": _sql_redact_pii(),
         "dedup_substring_self": _sql_substring_self(),
         "dedup_substring_keep_self": _sql_substring_keep_self(),
         "dedup_substring_keep_text": _sql_substring_keep_text(),

@@ -164,6 +164,16 @@ def main() -> None:
                 tbl("documents"),
                 tbl("documents").filter(F.col("lang") == "en"))
             .agg(F.sum("dsir_score_e9")).collect())
+        # mid-round-6 additions
+        queries["dedup_lines_global"] = lambda: (
+            dedup.line_dedup_keep_first(tbl("documents"))
+            .agg(F.sum("n_lines_kept")).collect())
+        queries["curate_mixture_weights"] = lambda: (
+            sampling.mixture_weights(tbl("documents"))
+            .agg(F.sum("temp_share_e9")).collect())
+        queries["text_redact_pii"] = lambda: (
+            textstats.redact_pii(tbl("documents"))
+            .agg(F.sum(F.length("redacted_text"))).collect())
     if os.environ.get("SPARK_GRAFT_DISAGG"):
         # r1-equivalent plan: sink only the round-1 output column families so
         # Catalyst prunes the round-2 work (topic/html/G7) — isolates "new

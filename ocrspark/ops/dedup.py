@@ -648,6 +648,80 @@ def substring_self_spans(docs: DataFrame, text_col: str = "text",
     )
 
 
+def line_dedup_keep_first(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-GLOBAL exact line dedup, keep-first (the C4 §2.2 span-dedup
+    policy at line granularity, Raffel et al. 2020): (doc_id, n_lines,
+    n_lines_kept, kept_text) — every line whose canonical word sequence
+    occurs anywhere else in the corpus survives ONLY at its first
+    occurrence in (doc_id, line_no) order; all later copies are removed.
+
+    Complements the two existing line/span cleaners: ``textstats.
+    strip_boilerplate_lines`` removes lines matching the top-k HOT grams
+    (frequency-thresholded, keeps zero copies), and ``substring_dedup_keep``
+    removes verbatim word spans under a df cap (so corpus-hot spans are
+    exempt there).  This op is the uncapped exact complement: EVERY
+    duplicated line, however hot, keeps exactly one copy — C4's actual
+    policy ("keep one span per corpus").
+
+    Line identity is the canonical ``[a-z0-9]+`` token stream (the repo's
+    shared canonicalization); lines with an EMPTY canonical form (blank /
+    punctuation-only) carry structure, not content, and are always kept.
+    Keep-first is total-ordered by (doc_id, line_no) — reproducible on
+    any engine and any partitioning, like every keeper rule here.
+
+    Scale shape: one groupBy on the line's full-md5 key with a
+    ``min(struct(doc_id, line_no))`` keeper — partial aggregation
+    collapses a corpus-hot line (a footer duplicated 10^9 times) map-side
+    to one row per map task, so the group itself cannot straggle.  The
+    join-back puts the corpus-sized line table against a build side with
+    EXACTLY one row per key, so residual probe-side skew on a hot key is
+    the AQE skew-split textbook case (split the probe partition, duplicate
+    the 1-row build side) — no salting needed because the build
+    multiplicity is 1 by construction.  Reassembly is one doc-keyed
+    collect_list sorted in-array (per-doc bound, never corpus-hot).
+    """
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    ).withColumn(
+        "ckey",
+        F.md5(F.array_join(_words(F.col("line")), " ")),
+    ).withColumn("is_blank", (F.size(_words(F.col("line"))) == 0).cast("int"))
+    content = lines.filter(F.col("is_blank") == 0)
+    keepers = content.groupBy("ckey").agg(
+        F.min(F.struct("doc_id", "line_no")).alias("keep")
+    )
+    kept_content = (
+        content.join(keepers, "ckey")
+        .filter((F.col("doc_id") == F.col("keep.doc_id"))
+                & (F.col("line_no") == F.col("keep.line_no")))
+        .select("doc_id", "line_no", "line")
+    )
+    kept = kept_content.unionByName(
+        lines.filter(F.col("is_blank") == 1).select("doc_id", "line_no", "line")
+    )
+    totals = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"))
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("kept_text"),
+    )
+    # a doc whose every line was a later copy keeps nothing -> empty text
+    return totals.join(reassembled, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.coalesce("n_lines_kept", F.lit(0)).cast("long")
+        .alias("n_lines_kept"),
+        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+    )
+
+
 def components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Duplicate clusters from near-dup pairs: (doc_id, rep_id, cluster_size).
 

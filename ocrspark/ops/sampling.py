@@ -311,3 +311,68 @@ def dsir_importance(docs: DataFrame, target: DataFrame,
         )
         .withColumn("gumbel_e9", gumbel_e9)
     )
+
+
+MIX_ALPHA_E2 = 50      # temperature exponent alpha = 0.50
+MIX_EPOCH_CAP_E2 = 400  # UniMax-style cap: <= 4.00 epochs of any source
+
+
+def mixture_weights(docs: DataFrame, strata_col: str = "source",
+                    text_col: str = "text",
+                    alpha_e2: int = MIX_ALPHA_E2,
+                    epoch_cap_e2: int = MIX_EPOCH_CAP_E2) -> DataFrame:
+    """Temperature-scaled source mixture weights with a UniMax epoch cap
+    (Arivazhagan et al. 2019 temperature sampling; Chung et al. 2023
+    UniMax): per stratum, (source, n_docs, total_tokens,
+    natural_share_e9, temp_share_e9, epochs_e2, capped).
+
+    The data-mixing step every multi-source pretraining run needs: the
+    natural token share p_s is flattened to q_s ∝ p_s^alpha (alpha < 1
+    upweights low-resource sources), and ``epochs_e2`` = q_s / p_s is the
+    implied repetition rate of source s under the mix — clamped at
+    ``epoch_cap_e2`` (UniMax's bound on how many epochs a small source
+    may repeat) with ``capped`` flagging clamped rows.  Full UniMax
+    water-filling redistributes the clamped surplus iteratively; that
+    loop runs over the k-row aggregate (driver-side, k = #sources), so
+    the corpus-scale job is exactly this op — the one-shot shares plus
+    the binding caps are what it feeds.
+
+    Exactness contract (the ``dsir_importance`` precedent): p_s^alpha is
+    rounded to an int64 at 1e-9 BEFORE the normalizing sum, so the
+    denominator is an integer sum — partition-order independent and
+    engine-portable; every emitted share/epoch value is a rounded scalar
+    function of per-stratum longs and the two broadcast totals.
+
+    Scale shape: one partial-aggregated groupBy(strata) over the corpus
+    (key space = #sources, bounded), then two 1-row broadcast totals
+    (token total, weight-mass total) — no corpus-sized shuffle beyond
+    the single groupBy, no key that can straggle.
+    """
+    alpha = F.lit(alpha_e2).cast("double") / 100.0
+    per = docs.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.regexp_count(F.col(text_col), F.lit(r"\S+")).cast("long"))
+        .alias("total_tokens"),
+    )
+    tot = per.agg(F.sum("total_tokens").alias("t_all"))
+    p = F.col("total_tokens").cast("double") / F.col("t_all").cast("double")
+    weighted = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("w_e9", F.round(F.pow(p, alpha) * 1e9).cast("long"))
+    )
+    wtot = weighted.agg(F.sum("w_e9").alias("w_all"))
+    q = F.col("w_e9").cast("double") / F.col("w_all").cast("double")
+    epochs = F.round(q / p * 100).cast("long")
+    return (
+        weighted.crossJoin(F.broadcast(wtot))
+        .select(
+            strata_col,
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.round(p * 1e9).cast("long").alias("natural_share_e9"),
+            F.round(q * 1e9).cast("long").alias("temp_share_e9"),
+            F.least(epochs, F.lit(epoch_cap_e2).cast("long"))
+            .alias("epochs_e2"),
+            (epochs > epoch_cap_e2).cast("int").alias("capped"),
+        )
+    )

@@ -1,0 +1,142 @@
+"""Behavior pins for the mid-round-6 curation ops: corpus-global exact
+line dedup (C4 keep-first policy), PII redaction, and temperature/UniMax
+mixture weights — planted-case semantics the synthetic fixture corpus
+cannot exercise (it has no duplicate lines, no PII, uniform sources)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from ocrspark.ops import dedup, sampling, textstats
+
+
+def _lines_fixture(spark):
+    return spark.createDataFrame(
+        [
+            (1, "Hello World\nunique one\n\nFooter Text"),
+            (2, "hello   world!\nFooter Text\nunique two"),
+            (3, "Footer Text\n!!!\nfooter text"),
+            (4, "Footer Text"),
+            (5, "repeat me\nrepeat me"),
+        ],
+        "doc_id int, text string",
+    )
+
+
+def test_line_dedup_keep_first_planted(spark):
+    """Canonical-equal lines keep ONLY their first (doc_id, line_no)
+    occurrence corpus-wide; blank/punctuation-only lines always survive;
+    a doc whose every content line is a later copy keeps empty text."""
+    out = {r.doc_id: r for r in
+           dedup.line_dedup_keep_first(_lines_fixture(spark)).collect()}
+    assert len(out) == 5
+    # doc 1 is first everywhere: byte-identical passthrough incl. blank
+    assert (out[1].n_lines, out[1].n_lines_kept) == (4, 4)
+    assert out[1].kept_text == "Hello World\nunique one\n\nFooter Text"
+    # 'hello   world!' canonicalizes to doc 1's 'Hello World' -> dropped
+    assert (out[2].n_lines, out[2].n_lines_kept) == (3, 1)
+    assert out[2].kept_text == "unique two"
+    # both Footer copies lose to doc 1; '!!!' is blank-canonical -> kept
+    assert (out[3].n_lines, out[3].n_lines_kept) == (3, 1)
+    assert out[3].kept_text == "!!!"
+    # every content line a later copy -> empty doc retained in output
+    assert (out[4].n_lines, out[4].n_lines_kept) == (1, 0)
+    assert out[4].kept_text == ""
+    # within-doc repeat: first line wins over its own later copy
+    assert (out[5].n_lines, out[5].n_lines_kept) == (2, 1)
+    assert out[5].kept_text == "repeat me"
+
+
+def test_line_dedup_partition_invariant(spark):
+    """Keep-first is a pure function of (doc_id, line_no) order — the
+    result cannot depend on physical partitioning."""
+    docs = _lines_fixture(spark)
+    a = sorted(map(tuple, dedup.line_dedup_keep_first(docs).collect()))
+    b = sorted(map(tuple, dedup.line_dedup_keep_first(
+        docs.repartition(5, "text")).collect()))
+    assert a == b
+
+
+def test_redact_pii_planted(spark):
+    """Each pattern masks its planted instance; precision negatives
+    (bare digit runs, 3-octet dots, TLD-less addresses) pass untouched."""
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@ex-ample.co.uk now"),
+            (2, "server at 192.168.0.1 port"),
+            (3, "call +47 922 33 444 now"),
+            (4, "no pii 1234567 plain digits 10.1.2 x@y"),
+            (5, "a@b.com and 10.0.0.1 and +1 234-567-8900"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in textstats.redact_pii(docs).collect()}
+    assert (out[1].n_emails, out[1].n_ips, out[1].n_phones) == (1, 0, 0)
+    assert out[1].redacted_text == "mail <EMAIL> now"
+    assert (out[2].n_emails, out[2].n_ips, out[2].n_phones) == (0, 1, 0)
+    assert out[2].redacted_text == "server at <IP> port"
+    assert (out[3].n_emails, out[3].n_ips, out[3].n_phones) == (0, 0, 1)
+    assert out[3].redacted_text == "call <PHONE> now"
+    assert (out[4].n_emails, out[4].n_ips, out[4].n_phones) == (0, 0, 0)
+    assert out[4].redacted_text == "no pii 1234567 plain digits 10.1.2 x@y"
+    assert (out[5].n_emails, out[5].n_ips, out[5].n_phones) == (1, 1, 1)
+    assert out[5].redacted_text == "<EMAIL> and <IP> and <PHONE>"
+
+
+def test_mixture_weights_differential(spark):
+    """The emitted shares/epochs must equal the pure-python evaluation of
+    the documented formula (int64-rounded weight mass), and a low epoch
+    cap must clamp the small source and flag it."""
+    rows = [(i, "w " * 10, "A") for i in range(90)] \
+        + [(1000 + i, "w " * 10, "B") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, source string")
+
+    def expected(alpha_e2, cap_e2):
+        toks = {"A": 900, "B": 100}
+        t_all = 1000
+        w = {s: round((t / t_all) ** (alpha_e2 / 100) * 1e9)
+             for s, t in toks.items()}
+        w_all = sum(w.values())
+        exp = {}
+        for s, t in toks.items():
+            p, q = t / t_all, w[s] / w_all
+            e = round(q / p * 100)
+            exp[s] = (toks[s], round(p * 1e9), round(q * 1e9),
+                      min(e, cap_e2), int(e > cap_e2))
+        return exp
+
+    for cap in (400, 200):
+        got = {r.source: (r.total_tokens, r.natural_share_e9,
+                          r.temp_share_e9, r.epochs_e2, r.capped)
+               for r in sampling.mixture_weights(
+                   docs, epoch_cap_e2=cap).collect()}
+        assert got == expected(50, cap), (cap, got)
+    # sqrt-temperature sanity: B's 10% flattens toward 25%
+    b_share = expected(50, 400)["B"][2] / 1e9
+    assert math.isclose(b_share, 0.25, abs_tol=0.01)
+    # the cap=200 run clamps B (epochs 250 -> 200) and flags it
+    assert expected(50, 200)["B"][3:] == (200, 1)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_curation_ops_plan_shapes(spark):
+    """Scale-shape lint for the three ops: redaction is one shuffle-free
+    codegen project; the line-dedup keeper is a partial-aggregated
+    groupBy (hot lines collapse map-side), NEVER a window over the raw
+    line key (AQE cannot split one hot key for a window); mixture
+    weights carry no window and no corpus-keyed join."""
+    docs = _lines_fixture(spark).withColumn("source", F.lit("s"))
+    p_redact = _plan(textstats.redact_pii(docs))
+    assert "Exchange" not in p_redact, p_redact
+    assert "BatchEvalPython" not in p_redact and "Arrow" not in p_redact
+
+    p_lines = _plan(dedup.line_dedup_keep_first(docs))
+    assert "Window" not in p_lines, p_lines
+    assert "partial_min" in p_lines, p_lines
+
+    p_mix = _plan(sampling.mixture_weights(docs))
+    assert "Window" not in p_mix, p_mix
+    assert "partial_count" in p_mix or "partial_sum" in p_mix, p_mix
