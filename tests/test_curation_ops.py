@@ -140,3 +140,28 @@ def test_curation_ops_plan_shapes(spark):
     p_mix = _plan(sampling.mixture_weights(docs))
     assert "Window" not in p_mix, p_mix
     assert "partial_count" in p_mix or "partial_sum" in p_mix, p_mix
+
+
+def test_line_dedup_corpus_hot_line(spark):
+    """The op is deliberately UNCAPPED: a line duplicated across 300 docs
+    (the corpus-hot footer the df-capped span ops exempt) keeps exactly
+    its (min doc_id, min line_no) occurrence and every other copy drops —
+    and the result is identical under adversarial partitioning."""
+    hot = "all rights reserved worldwide"
+    docs = spark.createDataFrame(
+        [(i, f"unique line {i}\n{hot}" if i % 2 else f"{hot}\nunique line {i}")
+         for i in range(300)],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in
+           dedup.line_dedup_keep_first(docs).collect()}
+    # doc 0 has the hot line FIRST (line_no 0) -> keeps both its lines
+    assert (out[0].n_lines_kept, out[0].kept_text) == (
+        2, f"{hot}\nunique line 0")
+    # every other doc keeps only its unique line
+    for i in range(1, 300):
+        assert out[i].n_lines_kept == 1, i
+        assert out[i].kept_text == f"unique line {i}", i
+    skewed = docs.repartition(3, F.lit(1))  # all rows in one partition
+    assert sorted(map(tuple, dedup.line_dedup_keep_first(skewed).collect())) \
+        == sorted(map(tuple, out.values()))
