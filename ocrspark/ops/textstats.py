@@ -501,48 +501,57 @@ def repetition_ngram_stats(docs: DataFrame,
     can over-count, as in the reference Gopher implementations).  Docs
     with fewer words than n contribute 0 for that n and pass it.
 
-    Scale shape: ONE explode produces the (doc, n, gram) stream for all
-    nine n in a single pass (9x the token volume, one shuffle), then
-    groupBy(doc_id, n, gram) -> groupBy(doc_id, n) -> conditional-agg
-    pivot to one row per doc — every key doc-scoped, partial-aggregated,
-    nothing corpus-global.  Same family as ``gopher_quality``'s 2-gram
-    mass; this op completes the Gopher repetition census (2.x top-mass,
-    5..10 dup-mass; line/paragraph signals live in
-    ``repetition_stats``).
+    Scale shape: one posexplode of the token stream, ONE doc-keyed
+    window whose lead() columns supply the next max_n-1 tokens per
+    position (grams for all nine n come off that one pass as concat_ws
+    projections — whole-stage codegen, no interpreted higher-order
+    functions), then groupBy(doc_id, n, gram) -> groupBy(doc_id, n) ->
+    conditional-agg pivot to one row per doc — every key doc-scoped,
+    partial-aggregated, nothing corpus-global.  The original
+    arrays-of-structs build ran nested interpreted HOFs (transform ->
+    slice -> aggregate -> array_join) per gram position and per n;
+    measured 88 s on the 5k-doc sf0.1 corpus vs ~2 s for this
+    formulation — identical (doc, n, gram, gchars) stream (the per-gram
+    word-char mass is length(gram) - (n-1) separators).  Same family as
+    ``gopher_quality``'s 2-gram mass; this op completes the Gopher
+    repetition census (2.x top-mass, 5..10 dup-mass; line/paragraph
+    signals live in ``repetition_stats``).
     """
+    from pyspark.sql import Window
+
     words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9]+"), 0)
     total_chars = F.aggregate(
         words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
     )
     all_ns = list(REP_TOP_NS) + list(REP_DUP_NS)
+    max_n = max(all_ns)
 
-    # closure factory, NOT `lambda i, n=n: ...` — a two-arg lambda makes
-    # F.transform pass (element, index) and the default arg captures the
-    # array INDEX instead of the gram size
-    def gram_struct(n: int):
-        return lambda i: F.struct(
-            F.lit(n).alias("n"),
-            F.array_join(F.slice(words, i + 1, n), " ").alias("gram"),
-            F.aggregate(
-                F.slice(words, i + 1, n), F.lit(0).cast("long"),
-                lambda acc, w: acc + F.length(w),
-            ).alias("gchars"),
-        )
-
-    # one array of (n, gram, gram_word_chars) structs per doc
-    per_n = [
-        F.when(
-            F.size(words) >= n,
-            F.transform(F.sequence(F.lit(0), F.size(words) - n),
-                        gram_struct(n)),
-        ).otherwise(
-            F.array().cast("array<struct<n:int,gram:string,gchars:bigint>>")
-        )
-        for n in all_ns
-    ]
-    base = docs.select(
+    toks = docs.select(
         "doc_id", total_chars.alias("total_chars"),
-        F.explode(F.concat(*per_n)).alias("s"),
+        F.posexplode(words).alias("p", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("p")
+    # window expressions must be materialized in their own projection —
+    # Spark rejects them inside a Generate (explode) operator
+    staged = toks.select(
+        "doc_id", "total_chars", "w",
+        *[F.lead("w", k).over(win).alias(f"_l{k}") for k in range(1, max_n)],
+    )
+    leads = [F.col("w")] + [F.col(f"_l{k}") for k in range(1, max_n)]
+    gram_structs = []
+    for n in all_ns:
+        gram = F.concat_ws(" ", *leads[:n])
+        gram_structs.append(
+            F.when(
+                leads[n - 1].isNotNull(),
+                F.struct(F.lit(n).alias("n"), gram.alias("gram"),
+                         (F.length(gram) - F.lit(n - 1)).cast("long")
+                         .alias("gchars")),
+            )
+        )
+    base = staged.select(
+        "doc_id", "total_chars",
+        F.explode(F.array_compact(F.array(*gram_structs))).alias("s"),
     ).select(
         "doc_id", "total_chars",
         F.col("s.n").alias("n"), F.col("s.gram").alias("gram"),
