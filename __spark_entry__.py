@@ -541,6 +541,26 @@ def _q_redact_pii(spark, sf_dir):
     return textstats.redact_pii(docs.select("doc_id", planted.alias("text")))
 
 
+def _q_c4_line_filter(spark, sf_dir):
+    """C4 rule-based line filters over planted multi-line docs: every doc
+    gets appended lines exercising each predicate (kept sentence, short
+    line, blacklist line, unpunctuated line), and every 7th doc gets a
+    curly-brace line that drops the whole doc — the fixture's single-line
+    punctuation-free word streams alone would exercise nothing."""
+    docs = _tbl(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"), F.lit("."),
+        F.lit("\nthis is a good clean sentence with many words."),
+        F.lit("\ntoo short."),
+        F.lit("\nwe use cookie banners on this site every day."),
+        F.lit("\nno terminal punctuation on this line at all"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("\nint f() { return 0; }"))
+        .otherwise(F.lit("")),
+    )
+    return textstats.c4_line_filters(
+        docs.select("doc_id", planted.alias("text")))
+
+
 def _q_curate_corpus(spark, sf_dir):
     """End-to-end curation composite: quality gate -> exact-dup keeper ->
     near-dup component keeper -> deterministic split.  The full
@@ -879,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_global": _q_dedup_lines_global,
         "curate_mixture_weights": _q_mixture_weights,
         "text_redact_pii": _q_redact_pii,
+        "text_c4_line_filter": _q_c4_line_filter,
         # green in r5 (driver rows 1-50 of CORRECTNESS_r05.json)
         "dedup_substring_keep": _q_substring_keep,
         "dedup_substring_self": _q_substring_self,
@@ -1447,6 +1468,41 @@ SELECT doc_id, n_emails, n_ips,
   CAST(len(regexp_extract_all(t2, '{PII_PHONE}')) AS BIGINT) AS n_phones,
   regexp_replace(t2, '{PII_PHONE}', '<PHONE>', 'g') AS redacted_text
 FROM s2"""
+
+
+def _sql_c4_line_filter() -> str:
+    """Twin of textstats.c4_line_filters over the same planted lines."""
+    black = " OR ".join(f"contains(lower(x), '{b}')"
+                        for b in ("lorem ipsum", "javascript", "cookie",
+                                  "privacy policy", "terms of use"))
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+    text || '.'
+    || chr(10) || 'this is a good clean sentence with many words.'
+    || chr(10) || 'too short.'
+    || chr(10) || 'we use cookie banners on this site every day.'
+    || chr(10) || 'no terminal punctuation on this line at all'
+    || CASE WHEN doc_id % 7 = 0
+            THEN chr(10) || 'int f() {{ return 0; }}' ELSE '' END AS text
+  FROM documents
+),
+lx AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM src),
+f AS (
+  SELECT doc_id, text, lines,
+    list_filter(lines, x ->
+      right(rtrim(x), 1) IN ('.', '!', '?', '"')
+      AND len(regexp_extract_all(lower(x), '[a-z0-9]+')) >= 5
+      AND NOT ({black})) AS keptl
+  FROM lx
+)
+SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+  CASE WHEN contains(text, '{{') THEN 0
+       ELSE CAST(len(keptl) AS BIGINT) END AS n_lines_kept,
+  CASE WHEN contains(text, '{{') THEN 0 ELSE 1 END AS doc_pass,
+  CASE WHEN contains(text, '{{') THEN ''
+       ELSE array_to_string(keptl, chr(10)) END AS kept_text
+FROM f"""
 
 
 def _sql_substring_runs_ctes(n: int = 8, max_df: int = 64,
@@ -2719,6 +2775,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines_global": _sql_lines_global(),
         "curate_mixture_weights": _sql_mixture_weights(),
         "text_redact_pii": _sql_redact_pii(),
+        "text_c4_line_filter": _sql_c4_line_filter(),
         "dedup_substring_self": _sql_substring_self(),
         "dedup_substring_keep_self": _sql_substring_keep_self(),
         "dedup_substring_keep_text": _sql_substring_keep_text(),

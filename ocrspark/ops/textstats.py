@@ -637,3 +637,54 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_ph.cast("long").alias("n_phones"),
         t3.alias("redacted_text"),
     )
+
+
+C4_MIN_WORDS = 5
+C4_BLACKLIST = ("lorem ipsum", "javascript", "cookie", "privacy policy",
+                "terms of use")
+C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_line_filters(docs: DataFrame, text_col: str = "text",
+                    min_words: int = C4_MIN_WORDS,
+                    blacklist=C4_BLACKLIST) -> DataFrame:
+    """C4's rule-based line/document cleaning (Raffel et al. 2020 §2.2):
+    (doc_id, n_lines, n_lines_kept, doc_pass, kept_text).  A line
+    survives iff it ends in terminal punctuation, carries at least
+    ``min_words`` words, and contains no blacklist phrase (lorem ipsum /
+    javascript / cookie / policy boilerplate); a document containing a
+    curly brace is dropped wholesale (C4's code heuristic: doc_pass = 0,
+    zero lines kept).  The RULE-based complement of the two
+    frequency-based line cleaners (``strip_boilerplate_lines`` strips
+    mined hot grams; ``dedup.line_dedup_keep_first`` strips later copies)
+    — C4 applies this pass before any dedup.
+
+    Scale shape: a single row-local array filter over split lines — no
+    shuffle, no join, no corpus state; the per-line predicate is k
+    ``contains`` probes plus two cheap checks (the
+    ``strip_boilerplate_lines`` cost model).  Line order is preserved.
+    """
+    from functools import reduce
+    from operator import or_
+
+    def keep(x):
+        t = F.rtrim(x)
+        punct = F.substring(t, -1, 1).isin(*C4_TERMINALS)
+        enough = F.size(
+            F.regexp_extract_all(F.lower(x), F.lit(r"[a-z0-9]+"), 0)
+        ) >= min_words
+        black = reduce(or_, [F.lower(x).contains(b) for b in blacklist])
+        return punct & enough & ~black
+
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, keep)
+    code_doc = F.col(text_col).contains("{")
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.when(code_doc, F.lit(0)).otherwise(F.size(kept))
+        .cast("long").alias("n_lines_kept"),
+        (~code_doc).cast("int").alias("doc_pass"),
+        F.when(code_doc, F.lit("")).otherwise(F.array_join(kept, "\n"))
+        .alias("kept_text"),
+    )

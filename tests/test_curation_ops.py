@@ -141,6 +141,9 @@ def test_curation_ops_plan_shapes(spark):
     assert "Window" not in p_mix, p_mix
     assert "partial_count" in p_mix or "partial_sum" in p_mix, p_mix
 
+    p_c4 = _plan(textstats.c4_line_filters(docs))
+    assert "Exchange" not in p_c4, p_c4
+
 
 def test_line_dedup_corpus_hot_line(spark):
     """The op is deliberately UNCAPPED: a line duplicated across 300 docs
@@ -165,3 +168,29 @@ def test_line_dedup_corpus_hot_line(spark):
     skewed = docs.repartition(3, F.lit(1))  # all rows in one partition
     assert sorted(map(tuple, dedup.line_dedup_keep_first(skewed).collect())) \
         == sorted(map(tuple, out.values()))
+
+
+def test_c4_line_filters_planted(spark):
+    """Each C4 predicate exercised: terminal punctuation, min words,
+    blacklist phrase, and the curly-brace whole-doc drop."""
+    docs = spark.createDataFrame(
+        [
+            (1, "A good clean sentence with many words here.\n"
+                "short one.\n"
+                "We use cookie banners on this site every day.\n"
+                "no terminal punctuation on this line at all\n"
+                'He said "stop right there friend of mine!"'),
+            (2, "This doc has curly braces so it drops entirely.\n"
+                "int f() { return 0; }"),
+            (3, ""),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in textstats.c4_line_filters(docs).collect()}
+    assert (out[1].n_lines, out[1].n_lines_kept, out[1].doc_pass) == (5, 2, 1)
+    assert out[1].kept_text == (
+        "A good clean sentence with many words here.\n"
+        'He said "stop right there friend of mine!"')
+    assert (out[2].n_lines, out[2].n_lines_kept, out[2].doc_pass) == (2, 0, 0)
+    assert out[2].kept_text == ""
+    assert (out[3].n_lines, out[3].n_lines_kept, out[3].doc_pass) == (1, 0, 1)
