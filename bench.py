@@ -174,6 +174,9 @@ def main() -> None:
         queries["text_redact_pii"] = lambda: (
             textstats.redact_pii(tbl("documents"))
             .agg(F.sum(F.length("redacted_text"))).collect())
+        queries["text_c4_line_filter"] = lambda: (
+            textstats.c4_line_filters(tbl("documents"))
+            .agg(F.sum("n_lines_kept")).collect())
     if os.environ.get("SPARK_GRAFT_DISAGG"):
         # r1-equivalent plan: sink only the round-1 output column families so
         # Catalyst prunes the round-2 work (topic/html/G7) — isolates "new
