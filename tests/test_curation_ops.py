@@ -194,3 +194,45 @@ def test_c4_line_filters_planted(spark):
     assert (out[2].n_lines, out[2].n_lines_kept, out[2].doc_pass) == (2, 0, 0)
     assert out[2].kept_text == ""
     assert (out[3].n_lines, out[3].n_lines_kept, out[3].doc_pass) == (1, 0, 1)
+
+
+def test_line_dedup_random_differential(spark):
+    """Seeded random corpus (blank / punct-only / colliding short lines)
+    vs a pure-python keep-first reference — the full contract, not just
+    planted cases."""
+    import random
+    import re
+
+    rnd = random.Random(77)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs_py = []
+    for d in range(40):
+        lines = []
+        for _ in range(rnd.randint(0, 5)):
+            k = rnd.random()
+            if k < 0.15:
+                lines.append("")
+            elif k < 0.25:
+                lines.append("!?.")
+            else:
+                lines.append(" ".join(
+                    rnd.choice(vocab) for _ in range(rnd.randint(1, 4))))
+        docs_py.append((d, "\n".join(lines)))
+
+    seen = set()
+    expect = {}
+    for d, text in sorted(docs_py):
+        lines = text.split("\n")
+        kept = []
+        for line in lines:
+            canon = " ".join(re.findall(r"[a-z0-9]+", line.lower()))
+            if canon == "" or canon not in seen:
+                if canon:
+                    seen.add(canon)
+                kept.append(line)
+        expect[d] = (len(lines), len(kept), "\n".join(kept))
+
+    docs = spark.createDataFrame(docs_py, "doc_id int, text string")
+    got = {r.doc_id: (r.n_lines, r.n_lines_kept, r.kept_text)
+           for r in dedup.line_dedup_keep_first(docs).collect()}
+    assert got == expect
