@@ -89,6 +89,10 @@ def test_curation_ops_partition_invariant(spark):
     assert rows(similarity.ivf_topk(emb)) == rows(similarity.ivf_topk(emb_r))
     assert rows(textstats.tfidf_topterms(docs, k=3)) == \
         rows(textstats.tfidf_topterms(docs_r, k=3))
+    assert rows(sampling.mixture_weights(docs)) == \
+        rows(sampling.mixture_weights(docs_r))
+    assert rows(textstats.c4_line_filters(docs)) == \
+        rows(textstats.c4_line_filters(docs_r))
     withtok = docs.withColumn(
         "n_tokens", F.regexp_count(F.col("text"), F.lit(r"\S+")))
     withtok_r = docs_r.withColumn(
