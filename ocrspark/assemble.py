@@ -7,6 +7,13 @@ renders images before the task text):
   each text: label-strip (marker span only) -> admin-strip -> math-normalize,
   text spans empty after the chain are dropped, offsets re-based 0..n-1.
 
+PERF (r7): the per-span text chain itself runs as a row-level codegen'd
+projection in ``segment.aggregate_tasks`` (struct field ``out_text``) — array
+lambdas here only reorder/filter/re-slice cheap field references.  Running
+the chain inside these lambdas executed it interpreted AND twice per span
+(the optimizer inlines the span array into both consumer sites below);
+measured ~25 s of the 43 s extract row at sf0.1.
+
 Everything happens inside array lambdas on the one-row-per-doc aggregates —
 no join, no extra shuffle; the final explode fans back out to one row per
 (doc_id, task_number).
@@ -21,33 +28,20 @@ from . import config as C
 from . import rules
 
 
-def _transform_text(x: Column) -> Column:
-    base = F.when(x["is_marker"], rules.strip_label(x["text"])).otherwise(x["text"])
-    return rules.normalize_math(rules.strip_admin(base))
-
-
 def output_spans(sp: Column) -> Column:
-    """sp: offset-sorted array<struct<offset,kind,text,media_ref,is_marker>>."""
+    """sp: offset-sorted array<struct<offset,kind,text,media_ref,out_text>>."""
     images = F.filter(sp, lambda x: x["kind"] == C.IMAGE_KIND)
     texts = F.filter(sp, lambda x: x["kind"] == C.TEXT_KIND)
     ordered = F.concat(images, texts)
-    transformed = F.transform(
-        ordered,
-        lambda x: F.struct(
-            x["kind"].alias("kind"),
-            _transform_text(x).alias("text"),
-            x["media_ref"].alias("media_ref"),
-        ),
-    )
     nonempty = F.filter(
-        transformed,
-        lambda x: ~((x["kind"] == C.TEXT_KIND) & (x["text"] == "")),
+        ordered,
+        lambda x: ~((x["kind"] == C.TEXT_KIND) & (x["out_text"] == "")),
     )
     return F.transform(
         nonempty,
         lambda x, i: F.struct(
             x["kind"].alias("kind"),
-            x["text"].alias("text"),
+            x["out_text"].alias("text"),
             x["media_ref"].alias("media_ref"),
             i.cast("int").alias("offset"),
         ),
@@ -62,15 +56,21 @@ def assemble(segmented: DataFrame) -> DataFrame:
     Text-level outputs (topic/task_text/html) follow the reference's task
     chain (P8 identity -> P12 strip -> T1-T5 normalize -> P11 topic -> P13
     HTML); the span array stays the span-level truth (north-rule invariant).
-    Whole-stage codegen CSE shares the repeated span-chain subexpressions.
     """
     exploded = segmented.select(
         "doc_id", "subject", "exam_version", "source_subject_code",
         F.explode("tasks").alias("t")
     )
     task_text = rules.normalize_math(
-        rules.strip_admin(rules.strip_label(F.col("t.task_text_raw")))
+        rules.strip_admin(rules.strip_label(F.col("t.task_text_raw"))),
+        pre_squeezed=True,
     )
+    # NB: the two-select split is load-bearing for performance: task_text
+    # and spans are referenced twice downstream (output + topic/html), so
+    # CollapseProject keeps them as BOUND ATTRIBUTES computed once here —
+    # a single fused select would inline the task_text chain into every
+    # score slot of classify_topic's argmax CASE (measured: a ~660-node
+    # regex expression tree per task row).
     out = exploded.select(
         "doc_id",
         "subject",

@@ -33,6 +33,14 @@ def _norm(a):
     )
 
 
+# PERF note (r7): an unrolled fixed-dim variant of _dot/_norm (64 explicit
+# getItem+multiply+add terms) was tried and measured SLOWER than the fold
+# (4.1-7.4 s vs 2.6-3.0 s for the cosine_topk bench row): the giant scalar
+# expression tree costs more in codegen than the interpreted fold costs in
+# evaluation.  The win that stands is hoisting the per-VECTOR norms out of
+# the per-PAIR expression (below) — the folds stay.
+
+
 MAX_QUERIES = 65536  # broadcast-side hard cap (vectors, not bytes)
 
 
@@ -89,8 +97,16 @@ def cosine_topk(emb: DataFrame, k: int = 10, query_mod: int = 25,
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     q = _bounded_queries(q, max_queries)
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
-    sim = F.round(_dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))), 9)
+    # PERF (r7): norms are a per-VECTOR quantity — compute them once per
+    # side BEFORE the |Q| x |C| join instead of twice per pair (Catalyst
+    # does not push partial expressions below a join).  The norm expression
+    # itself is unchanged, so every sim value is float-exact vs the
+    # per-pair form: ranking and sim_e9 are identical.  Measured 2.9 s ->
+    # 1.5 s on the sf0.1 bench row.
+    q = q.withColumn("qn", _norm(F.col("qe")))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"),
+                   _norm(F.col("embedding")).alias("cn"))
+    sim = F.round(_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 9)
     pairs = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))

@@ -79,7 +79,7 @@ def extract_points(task_text: Column) -> Column:
 # --------------------------------------------------- math normalization ---
 
 
-def normalize_math(col: Column) -> Column:
+def normalize_math(col: Column, pre_squeezed: bool = False) -> Column:
     """T1-T5 chain, literally as specified (pyref.normalize_math step for
     step).
 
@@ -87,14 +87,27 @@ def normalize_math(col: Column) -> Column:
     rewrites, translate for 1-char maps) was tried and measured 2x SLOWER
     inside the array-transform lambdas — conditional branches around large
     expressions defeat codegen there.  Keep the straight chain.
+
+    ``pre_squeezed`` (r7): when the input is the output of ``strip_admin``
+    (itself squeeze_ws-terminated), the leading squeeze is provably the
+    identity (squeeze_ws is idempotent: one pass leaves only single ASCII
+    spaces and trimmed ends) — skipping it drops one corpus-sized
+    regex+alloc pass.  Only set it when the input is literally a
+    squeeze_ws output.
     """
-    c = squeeze_ws(col)
+    c = col if pre_squeezed else squeeze_ws(col)
     for sym, rep in C.MATH_REPLACEMENTS:
         c = F.replace(c, F.lit(sym), F.lit(rep))
     # Java replacement: '\\\\' -> one literal backslash.
     c = F.regexp_replace(c, C.FRACTION_RE[0], "\\\\frac{$1}{$2}")
     c = F.regexp_replace(c, C.SUBSCRIPT_RE[0], "_{$1}")
-    c = F.regexp_replace(c, C.SUPERSCRIPT_RE[0], "^{$1}")
+    # SUPERSCRIPT_RE is PROVABLY dead at this point: '^' -> '**' already
+    # ran and no later step reintroduces '^' (frac/subscript emit only
+    # \/{}_ digits), so the scan can never match.  pyref and the DuckDB
+    # oracle keep the no-op step verbatim for spec parity; skipping the
+    # per-span scan here changes nothing (differential tests + checksum
+    # pin it) and saves one full regex pass over the corpus (guide §1.2:
+    # don't compute things you throw away).
     c = F.regexp_replace(c, C.OPERATOR_SPACE_RE[0], " $1 ")
     return squeeze_ws(c)
 
@@ -272,9 +285,18 @@ def task_label(task_number: Column) -> Column:
 
 
 def extract_version(doc_text: Column) -> Column:
-    """P5 + T8 (pyref.extract_version)."""
-    season = F.regexp_extract(doc_text, C.SEASON_RE, 1)
-    year = F.regexp_extract(doc_text, C.SEASON_RE, 2)
+    """P5 + T8 (pyref.extract_version).
+
+    PERF (r7): the season/year groups are re-derived from the FIRST-MATCH
+    SNIPPET (regexp_substr) instead of two independent full-text extracts —
+    one corpus-sized scan instead of two.  Exact: the snippet is the
+    leftmost match's own text, so re-matching the same pattern against it
+    (\\b holds at snippet start/end by construction) reproduces the same
+    groups; no-match maps regexp_substr to NULL, and NULL != '' is
+    null-false in the CASE exactly like the old ''-check."""
+    m = F.regexp_substr(doc_text, F.lit(C.SEASON_RE))
+    season = F.regexp_extract(m, C.SEASON_RE, 1)
+    year = F.regexp_extract(m, C.SEASON_RE, 2)
     exercise = F.regexp_extract(doc_text, C.EXERCISE_RE, 2)
     return (
         F.when(season != "", F.concat(F.upper(season.substr(1, 1)), year.substr(-2, 2)))

@@ -35,9 +35,17 @@ from . import rules
 
 
 def sessionize(flat: DataFrame) -> DataFrame:
-    """flat spans -> + (is_marker, task_seq, in_solution)."""
+    """flat spans -> + (is_marker, task_seq, in_solution).
+
+    PERF (r7): ``in_solution`` ("a solution marker appeared at-or-before
+    this span within its task") is expressed over the SAME (doc_id, offset)
+    ordering as the other two windows: the running max of the task_seq of
+    solution-start spans equals the current task_seq iff the current task
+    has seen a solution start.  Equivalent to the per-(doc_id, task_seq)
+    window form because task_seq is non-decreasing in offset by
+    construction — and it removes a second full-width Sort of the span
+    stream (the (doc, task_seq, offset) order the old window demanded)."""
     w_doc = Window.partitionBy("doc_id").orderBy("offset")
-    w_task = Window.partitionBy("doc_id", "task_seq").orderBy("offset")
     cand = rules.marker_candidate_number(F.col("kind"), F.col("text"))
     df = flat.withColumn("cand_n", cand)
     run_max_prior = F.coalesce(
@@ -55,11 +63,12 @@ def sessionize(flat: DataFrame) -> DataFrame:
         ),
     )
     sol = rules.is_solution_start(F.col("kind"), F.col("text"))
+    last_sol_seq = F.max(F.when(sol, F.col("task_seq"))).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, 0)
+    )
     df = df.withColumn(
         "in_solution",
-        F.max(sol.cast("int"))
-        .over(w_task.rowsBetween(Window.unboundedPreceding, 0))
-        == 1,
+        F.coalesce(last_sol_seq == F.col("task_seq"), F.lit(False)),
     )
     return df.drop("cand_n")
 
@@ -69,11 +78,31 @@ def aggregate_tasks(sessionized: DataFrame) -> DataFrame:
 
     groupBy(doc_id, task_seq) is satisfied by the window's hash(doc_id)
     partitioning: complete groups form map-side, no exchange.
+
+    PERF (r7): the per-span OUTPUT text (label-strip on the marker span ->
+    admin-strip -> math-normalize, assemble's span chain) is computed HERE,
+    as a row-level whole-stage-codegen projection on the flat span rows,
+    and carried into the collected struct as ``out_text``.  Computing it
+    later inside assemble's array lambdas runs the whole regex chain
+    interpreted (array HOFs have no codegen and no subexpression
+    elimination), and the optimizer inlines the span array into both of its
+    consumer sites (spans output + HTML paragraph sources), so every span
+    paid the chain TWICE — measured ~25 s of the 43 s extract row at sf0.1.
+    ``is_marker`` is consumed by the chain here and no longer needed
+    downstream, so the struct swaps it for ``out_text``.
     """
     kept = sessionized.filter(~F.col("in_solution"))
+    out_text = rules.normalize_math(
+        rules.strip_admin(
+            F.when(F.col("is_marker"), rules.strip_label(F.col("text")))
+            .otherwise(F.col("text"))
+        ),
+        pre_squeezed=True,
+    )
+    kept = kept.withColumn("out_text", out_text)
     tasks = kept.groupBy("doc_id", "task_seq").agg(
         F.array_sort(
-            F.collect_list(F.struct("offset", "kind", "text", "media_ref", "is_marker"))
+            F.collect_list(F.struct("offset", "kind", "text", "media_ref", "out_text"))
         ).alias("sp"),
         F.sum(F.length("text")).alias("raw_len"),
     )
@@ -114,7 +143,14 @@ def nest_per_doc(tasks: DataFrame,
     reads the whole document) — identical to the global span-text concat
     since both skip empties and join on single spaces.
     """
-    w_doc = Window.partitionBy("doc_id")
+    # PERF (r7): the whole-partition min/max windows take the SAME
+    # (doc_id, task_seq) sort order as the running widx window (their frame
+    # is explicitly unbounded, so ordering cannot change their values);
+    # sharing the order lets the widx window reuse the first window's sort
+    # instead of planning its own full Sort of the task stream.
+    w_doc = Window.partitionBy("doc_id").orderBy("task_seq").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     w_ord = Window.partitionBy("doc_id").orderBy("task_seq")
     valid_seq = F.when(
         (F.col("task_seq") >= 1)
@@ -170,12 +206,23 @@ def nest_per_doc(tasks: DataFrame,
             " ",
         ).alias("doc_text"),
     )
+    # PERF (r7): bind the subject-code match list ONCE.  merge_subject_codes
+    # references its input three times and the source code a fourth — as
+    # inline expressions each reference re-ran regexp_extract_all over the
+    # full doc text (4 corpus-sized regex passes; CollapseProject keeps an
+    # expensive alias bound, so this is one pass + cheap array ops).
+    # source_subject_code == codes[0] exactly: the pattern's group 1 is
+    # non-empty on any match, so first-match extract and element 0 of
+    # extract_all coincide, and both map no-match to UNKNOWN.
+    nested = nested.withColumn("codes", rules.subject_codes(F.col("doc_text")))
     return (
-        nested.withColumn("subject", rules.extract_subject(F.col("doc_text")))
+        nested.withColumn("subject", rules.merge_subject_codes(F.col("codes")))
         .withColumn("exam_version", rules.extract_version(F.col("doc_text")))
         .withColumn(
-            "source_subject_code", rules.extract_source_code(F.col("doc_text"))
+            "source_subject_code",
+            F.coalesce(F.get(F.col("codes"), 0), F.lit("UNKNOWN")),
         )
+        .drop("codes")
     )
 
 
