@@ -9,10 +9,10 @@ renders images before the task text):
 
 PERF (r7): the per-span text chain itself runs as a row-level codegen'd
 projection in ``segment.aggregate_tasks`` (struct field ``out_text``) — array
-lambdas here only reorder/filter/re-slice cheap field references.  Running
-the chain inside these lambdas executed it interpreted AND twice per span
-(the optimizer inlines the span array into both consumer sites below);
-measured ~25 s of the 43 s extract row at sf0.1.
+lambdas here only reorder/filter/re-slice cheap field references.  (The
+chain's regex cost is position-independent, so this is a guarantee — single
+evaluation, codegen-visible — more than a wall-clock win; see
+OPTIMIZATION_r07.md.)
 
 Everything happens inside array lambdas on the one-row-per-doc aggregates —
 no join, no extra shuffle; the final explode fans back out to one row per

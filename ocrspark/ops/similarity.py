@@ -151,11 +151,14 @@ def lsh_search(emb: DataFrame, k: int = 5, query_mod: int = 25,
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"), "bucket"
         )
+    # per-vector norms hoisted below the bucket join (r7; float-exact — see
+    # cosine_topk)
+    q = q.withColumn("qn", _norm(F.col("qe")))
     c = e.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "bucket"
-    )
+    ).withColumn("cn", _norm(F.col("ce")))
     sim = F.round(
-        _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))), 9
+        _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 9
     )
     pairs = (
         q.join(c, "bucket")
@@ -205,14 +208,16 @@ def lsh_search_multiprobe(emb: DataFrame, k: int = 5, query_mod: int = 25,
         qbase
         .select(F.col("vec_id").alias("query_id"),
                 F.col("embedding").alias("qe"),
+                _norm(F.col("embedding")).alias("qn"),
                 F.explode(probes).alias("bucket"))
     )
     c = e.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"),
         "bucket",
-    )
+    ).withColumn("cn", _norm(F.col("ce")))
+    # per-vector norms hoisted out of the per-pair rerank (r7; float-exact)
     sim = F.round(
-        _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))), 9
+        _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 9
     )
     pairs = (
         q.join(c, "bucket")
@@ -286,12 +291,15 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
     never the plan to run at corpus scale.  Integer (1e9-scaled) similarity
     for engine-exact comparison.
     """
+    # per-vector norms hoisted out of the per-pair verify (r7; float-exact)
     sim = F.round(
-        _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))), 9
+        _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 9
     )
     if exact:
-        a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("qe"))
-        b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("ce"))
+        a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("qe"),
+                       _norm(F.col("embedding")).alias("qn"))
+        b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("ce"),
+                       _norm(F.col("embedding")).alias("cn"))
         return (
             a.join(b, F.col("id1") < F.col("id2"))
             .select("id1", "id2", F.round(sim * 1e9).cast("long").alias("sim_e9"))
@@ -300,8 +308,10 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
     bands = lsh_band_buckets(emb)
     e = emb.join(bands, "vec_id")
     a = e.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("qe"),
+                 _norm(F.col("embedding")).alias("qn"),
                  "band_id", "band_key")
     b = e.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("ce"),
+                 _norm(F.col("embedding")).alias("cn"),
                  "band_id", "band_key")
     return (
         a.join(b, ["band_id", "band_key"])
@@ -385,11 +395,16 @@ def ivf_assignments(emb: DataFrame, n_centroids: int = N_CENTROIDS,
 
     if cents is None:
         cents = _default_cents(emb, n_centroids)
+    # per-vector/per-centroid norms hoisted below the broadcast scoring
+    # join: norm(embedding) was recomputed n_centroids times per vector
+    # (r7; float-exact — the hoisted expression is unchanged)
+    e = emb.withColumn("vn", _norm(F.col("embedding")))
+    cn = cents.withColumn("cn", _norm(F.col("cent")))
     csim = F.round(
         _dot(F.col("embedding"), F.col("cent"))
-        / (_norm(F.col("embedding")) * _norm(F.col("cent"))), 9
+        / (F.col("vn") * F.col("cn")), 9
     )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
+    scored = e.crossJoin(F.broadcast(cn)).select(
         "vec_id", "cell_id", csim.alias("csim")
     )
     w = Window.partitionBy("vec_id").orderBy(
@@ -433,42 +448,47 @@ def ivf_assignments_two_level(emb: DataFrame,
         cents = _default_cents(emb, n_centroids)
     if n_groups is None:
         n_groups = max(1, math.isqrt(n_centroids))
+    # per-vector/centroid/leader norms hoisted out of all three scoring
+    # passes (r7; float-exact — the hoisted expression is unchanged)
+    cents = cents.withColumn("cn", _norm(F.col("cent")))
     leaders = (
         cents.orderBy("cell_id").limit(n_groups)
         .select(F.col("cell_id").alias("group_id"),
-                F.col("cent").alias("gcent"))
+                F.col("cent").alias("gcent"),
+                F.col("cn").alias("gn"))
     )
     gsim = F.round(
         _dot(F.col("cent"), F.col("gcent"))
-        / (_norm(F.col("cent")) * _norm(F.col("gcent"))), 9
+        / (F.col("cn") * F.col("gn")), 9
     )
     wg = Window.partitionBy("cell_id").orderBy(
         F.col("gsim").desc(), F.col("group_id").asc()
     )
     cent_groups = (
         cents.crossJoin(F.broadcast(leaders))
-        .select("cell_id", "cent", "group_id", gsim.alias("gsim"))
+        .select("cell_id", "cent", "cn", "group_id", gsim.alias("gsim"))
         .withColumn("grank", F.row_number().over(wg))
         .filter(F.col("grank") == 1)
-        .select("group_id", "cell_id", "cent")
+        .select("group_id", "cell_id", "cent", "cn")
     )
     vgsim = F.round(
         _dot(F.col("embedding"), F.col("gcent"))
-        / (_norm(F.col("embedding")) * _norm(F.col("gcent"))), 9
+        / (F.col("vn") * F.col("gn")), 9
     )
     wv = Window.partitionBy("vec_id").orderBy(
         F.col("vgsim").desc(), F.col("group_id").asc()
     )
     vec_groups = (
-        emb.crossJoin(F.broadcast(leaders))
-        .select("vec_id", "embedding", "group_id", vgsim.alias("vgsim"))
+        emb.withColumn("vn", _norm(F.col("embedding")))
+        .crossJoin(F.broadcast(leaders))
+        .select("vec_id", "embedding", "vn", "group_id", vgsim.alias("vgsim"))
         .withColumn("vgrank", F.row_number().over(wv))
         .filter(F.col("vgrank") <= probe_groups)
-        .select("vec_id", "embedding", "group_id")
+        .select("vec_id", "embedding", "vn", "group_id")
     )
     csim = F.round(
         _dot(F.col("embedding"), F.col("cent"))
-        / (_norm(F.col("embedding")) * _norm(F.col("cent"))), 9
+        / (F.col("vn") * F.col("cn")), 9
     )
     scored = vec_groups.join(cent_groups, "group_id").select(
         "vec_id", "cell_id", csim.alias("csim")
@@ -529,7 +549,8 @@ def ivf_topk(emb: DataFrame, k: int = 10, query_mod: int = 25,
         .select(F.col("vec_id").alias("neighbor_id"), "cell_id")
         .join(
             emb.select(F.col("vec_id").alias("neighbor_id"),
-                       F.col("embedding").alias("ce")),
+                       F.col("embedding").alias("ce"),
+                       _norm(F.col("embedding")).alias("cn")),
             "neighbor_id",
         )
     )
@@ -540,7 +561,8 @@ def ivf_topk(emb: DataFrame, k: int = 10, query_mod: int = 25,
             .join(
                 emb.filter(F.col("vec_id") % query_mod == 0)
                 .select(F.col("vec_id").alias("query_id"),
-                        F.col("embedding").alias("qe")),
+                        F.col("embedding").alias("qe"),
+                        _norm(F.col("embedding")).alias("qn")),
                 "query_id",
             )
         )
@@ -551,12 +573,14 @@ def ivf_topk(emb: DataFrame, k: int = 10, query_mod: int = 25,
             .select(F.col("vec_id").alias("query_id"), "cell_id")
             .join(
                 queries.select(F.col("vec_id").alias("query_id"),
-                               F.col("embedding").alias("qe")),
+                               F.col("embedding").alias("qe"),
+                               _norm(F.col("embedding")).alias("qn")),
                 "query_id",
             )
         )
+    # per-vector norms hoisted out of the per-pair rerank (r7; float-exact)
     sim = F.round(
-        _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))), 9
+        _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 9
     )
     pairs = (
         probes.join(lists, "cell_id")

@@ -82,12 +82,12 @@ def aggregate_tasks(sessionized: DataFrame) -> DataFrame:
     PERF (r7): the per-span OUTPUT text (label-strip on the marker span ->
     admin-strip -> math-normalize, assemble's span chain) is computed HERE,
     as a row-level whole-stage-codegen projection on the flat span rows,
-    and carried into the collected struct as ``out_text``.  Computing it
-    later inside assemble's array lambdas runs the whole regex chain
-    interpreted (array HOFs have no codegen and no subexpression
-    elimination), and the optimizer inlines the span array into both of its
-    consumer sites (spans output + HTML paragraph sources), so every span
-    paid the chain TWICE — measured ~25 s of the 43 s extract row at sf0.1.
+    and carried into the collected struct as ``out_text`` — assemble's
+    array lambdas (interpreted, no codegen/CSE) then only re-slice field
+    references.  Honest accounting: the regex work itself dominates and is
+    position-independent, so the end-to-end delta was within host noise;
+    the value is the guarantee (single evaluation, codegen-visible, guards
+    applicable) and that it unblocked the pass-count cuts in rules.py.
     ``is_marker`` is consumed by the chain here and no longer needed
     downstream, so the struct swaps it for ``out_text``.
     """
