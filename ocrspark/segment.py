@@ -37,40 +37,72 @@ from . import rules
 def sessionize(flat: DataFrame) -> DataFrame:
     """flat spans -> + (is_marker, task_seq, in_solution).
 
-    PERF (r7): ``in_solution`` ("a solution marker appeared at-or-before
-    this span within its task") is expressed over the SAME (doc_id, offset)
-    ordering as the other two windows: the running max of the task_seq of
-    solution-start spans equals the current task_seq iff the current task
-    has seen a solution start.  Equivalent to the per-(doc_id, task_seq)
-    window form because task_seq is non-decreasing in offset by
-    construction — and it removes a second full-width Sort of the span
-    stream (the (doc, task_seq, offset) order the old window demanded)."""
+    PERF (r7): every window function shares the ONE (doc_id, offset)
+    ordering (the old per-(doc_id, task_seq) in_solution window demanded
+    its own full-width Sort of the span stream), and the functions are
+    packed into TWO Window passes instead of three: pass 1 evaluates the
+    raw-column functions (prior-candidate running max; running max offset
+    of solution starts), pass 2 the is_marker-derived ones (task_seq;
+    running max offset of markers).  ``in_solution`` then falls out as a
+    row-local comparison: a span is inside a solution section iff the most
+    recent solution start is MORE RECENT than the most recent task start
+    (a marker row increments task_seq at its own row, so the current task
+    began at the last marker offset; a solution start belongs to the
+    current task iff it came after that marker — or any solution start at
+    all while still in the pre-marker task 0).  Offsets are unique per
+    doc and marker/solution patterns are mutually exclusive, so ties
+    cannot occur.  Equivalence to the original per-task window form is
+    pinned by test_in_solution_single_sort_equals_per_task_window."""
     w_doc = Window.partitionBy("doc_id").orderBy("offset")
+    prior = w_doc.rowsBetween(Window.unboundedPreceding, -1)
     cand = rules.marker_candidate_number(F.col("kind"), F.col("text"))
-    df = flat.withColumn("cand_n", cand)
-    run_max_prior = F.coalesce(
-        F.max("cand_n").over(w_doc.rowsBetween(Window.unboundedPreceding, -1)),
-        F.lit(0),
+    sol = rules.is_solution_start(F.col("kind"), F.col("text"))
+    # Window arguments are precomputed as plain attribute columns and both
+    # functions of a pass sit in ONE projection: Spark otherwise hoists
+    # each non-trivial window argument into its own child Project, and the
+    # interposed Project stops CollapseWindow from merging same-spec
+    # Window nodes (observed: 4 single-function passes instead of 2).
+    df = flat.withColumn("cand_n", cand).withColumn(
+        "sol", sol
+    ).withColumn("sol_off", F.when(sol, F.col("offset")))
+    # Window pass 1: prior-candidate running max + prior solution-start
+    # offset (one node — shared partition, order AND frame).
+    df = df.select(
+        "*",
+        F.max("cand_n").over(prior).alias("run_max_prior"),
+        F.max("sol_off").over(prior).alias("sol_prior"),
     )
     df = df.withColumn(
         "is_marker",
-        F.col("cand_n").isNotNull() & (F.col("cand_n") == run_max_prior + 1),
+        F.col("cand_n").isNotNull()
+        & (F.col("cand_n") == F.coalesce(F.col("run_max_prior"), F.lit(0)) + 1),
+    ).withColumn(
+        "marker_int", F.col("is_marker").cast("int")
+    ).withColumn("marker_off", F.when(F.col("is_marker"), F.col("offset")))
+    # Window pass 2 (same shared frame): prior marker count + prior marker
+    # offset; the at-or-before-current values are row-local fixups below.
+    df = df.select(
+        "*",
+        F.sum("marker_int").over(prior).alias("task_prior"),
+        F.max("marker_off").over(prior).alias("marker_prior"),
     )
     df = df.withColumn(
         "task_seq",
-        F.sum(F.col("is_marker").cast("int")).over(
-            w_doc.rowsBetween(Window.unboundedPreceding, 0)
-        ),
+        F.coalesce(F.col("task_prior"), F.lit(0).cast("long"))
+        + F.col("marker_int"),
     )
-    sol = rules.is_solution_start(F.col("kind"), F.col("text"))
-    last_sol_seq = F.max(F.when(sol, F.col("task_seq"))).over(
-        w_doc.rowsBetween(Window.unboundedPreceding, 0)
+    last_sol = F.when(F.col("sol"), F.col("offset")).otherwise(F.col("sol_prior"))
+    last_marker = F.when(F.col("is_marker"), F.col("offset")).otherwise(
+        F.col("marker_prior")
     )
     df = df.withColumn(
         "in_solution",
-        F.coalesce(last_sol_seq == F.col("task_seq"), F.lit(False)),
+        F.when(last_sol.isNull(), F.lit(False))
+        .when(last_marker.isNull(), F.lit(True))
+        .otherwise(last_sol > last_marker),
     )
-    return df.drop("cand_n")
+    return df.drop("cand_n", "sol", "sol_off", "run_max_prior", "sol_prior",
+                   "marker_int", "marker_off", "task_prior", "marker_prior")
 
 
 def aggregate_tasks(sessionized: DataFrame) -> DataFrame:
