@@ -189,9 +189,13 @@ def nest_per_doc(tasks: DataFrame,
         & (F.col("stripped_len") >= C.MIN_STRIPPED_TASK_CHARS),
         F.col("task_seq"),
     )
-    df = tasks.withColumn("first_valid", F.min(valid_seq).over(w_doc)).withColumn(
-        "last_valid", F.max(valid_seq).over(w_doc)
-    )
+    # argument precomputed + both functions in one projection so they share
+    # ONE Window node (see sessionize's CollapseWindow note)
+    df = tasks.withColumn("valid_seq", valid_seq).select(
+        "*",
+        F.min("valid_seq").over(w_doc).alias("first_valid"),
+        F.max("valid_seq").over(w_doc).alias("last_valid"),
+    ).drop("valid_seq")
     in_window = (F.col("task_seq") >= F.col("first_valid")) & (
         F.col("task_seq") <= F.col("last_valid")
     )
