@@ -195,8 +195,9 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text",
     ``reuse_intermediates`` (r7): the shingle table feeds FIVE consumers
     (signature agg; band-cap sizes + join-back via the signatures;
     verify's s1/s2/counts) and the signature table four — Catalyst plans
-    each consumer's lineage independently, so one invocation scans and
-    re-shingles the corpus up to 16x.  With reuse on, a lazy
+    each consumer's lineage independently, so one invocation scans the
+    corpus 8x (plan-counted) and re-shingles it per scan.  With reuse on,
+    a lazy
     ``localCheckpoint`` materializes each shared table once per invocation
     (inside the timed query — nothing survives across runs; blocks are
     freed by the ContextCleaner when the result is dropped).  Default OFF:
